@@ -1,0 +1,56 @@
+"""Flagship KG-construction pipeline (SURVEY.md §3.4 lifecycle).
+
+    pages -> extract -> link -> assemble -> canonicalize -> [sort -> write]
+
+One streaming DAG: stateless Arrow ``map_batches`` for extract/assemble, an
+actor pool for linking, one dedup shuffle, one sort shuffle at materialize.
+No driver-side row loops; the driver only composes stages and reads small
+aggregates.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..fixtures import aliases_table
+from ..stages.assemble import assemble_stage
+from ..stages.canonicalize import canonicalize_stage
+from ..stages.extract import extract_stage
+from ..stages.link import link_stage
+from ..stages.materialize import materialize_stage
+
+
+def read_pages(paths, *, columns=("url", "warc_ts", "html", "text", "lang")):
+    """Prune at the read: only the columns the pipeline touches leave storage."""
+    return rd.read_parquet(paths, columns=list(columns))
+
+
+def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
+               link_concurrency=(1, 4)):
+    """pages Dataset -> canonical deduped ops Dataset (lazy)."""
+    if alias_rows is None:
+        alias_rows = aliases_table().to_pylist()
+    raw = extract_stage(pages, verify_text=verify_text)
+    linked = link_stage(raw, alias_rows, concurrency=link_concurrency)
+    ops = assemble_stage(linked)
+    return canonicalize_stage(ops)
+
+
+def run_kg_pipeline(paths, out_dir: str | None = None, *, alias_rows=None,
+                    verify_text: bool = True, link_concurrency=(1, 4)):
+    """Full run: read -> ... -> canonicalize [-> sort+write+manifest].
+
+    Returns the ops Dataset when ``out_dir`` is None (for tests / further
+    composition), else the write manifest dict.
+    """
+    pages = read_pages(paths)
+    ops = kg_triples(pages, alias_rows, verify_text=verify_text,
+                     link_concurrency=link_concurrency)
+    if out_dir is None:
+        return ops
+    return materialize_stage(
+        ops,
+        out_dir,
+        sort_key=("pred", "subj", "obj"),
+        inputs=[str(p) for p in (paths if isinstance(paths, (list, tuple)) else [paths])],
+    )

@@ -1,0 +1,16 @@
+"""Ray Data stages: each is a named, composable ``Dataset -> Dataset``
+function (SURVEY.md §2.10 extension surface)."""
+
+from .extract import extract_stage
+from .link import link_stage
+from .assemble import assemble_stage
+from .canonicalize import canonicalize_stage
+from .materialize import materialize_stage
+
+__all__ = [
+    "extract_stage",
+    "link_stage",
+    "assemble_stage",
+    "canonicalize_stage",
+    "materialize_stage",
+]

@@ -1,0 +1,79 @@
+"""Materialize stage: sorted, partitioned Parquet + per-partition lineage
+manifests + checkpoint-resume (SURVEY.md S5/O1, §4).
+
+The reference writes one ordered text file from an in-memory list
+(write_to_file, sparql_updates.py:313-333; sort at get_updates.py:1171-1176).
+At scale that becomes: a range-partitioned ``Dataset.sort`` shuffle, a
+directory of parquet part files (never one giant file), and a ``_manifest.json``
+recording inputs, row counts and stage metrics — written only after the data
+lands, so "resume" = "skip any output dir whose manifest validates".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow.parquet as pq
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def is_complete(out_dir: str) -> bool:
+    """A partition is done iff its manifest exists and the files it lists do."""
+    mp = manifest_path(out_dir)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+        return all(os.path.exists(os.path.join(out_dir, p)) for p in m.get("files", []))
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def materialize_stage(
+    ds,
+    out_dir: str,
+    *,
+    sort_key=("pred", "subj", "obj"),
+    descending: bool = False,
+    inputs: list[str] | None = None,
+    extra_metrics: dict | None = None,
+    min_rows_per_file: int = 100_000,
+):
+    """Sort, write, manifest.  Returns the manifest dict.
+
+    If the partition already has a valid manifest the write is skipped
+    entirely (checkpoint-resume).
+    """
+    if is_complete(out_dir):
+        with open(manifest_path(out_dir)) as f:
+            return json.load(f)
+
+    t0 = time.perf_counter()
+    if sort_key:
+        ds = ds.sort(list(sort_key), descending=descending)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    elapsed = time.perf_counter() - t0
+
+    files = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    rows = sum(pq.read_metadata(os.path.join(out_dir, p)).num_rows for p in files)
+    manifest = {
+        "inputs": inputs or [],
+        "files": files,
+        "rows": rows,
+        "sort_key": list(sort_key) if sort_key else [],
+        "descending": descending,
+        "write_sec": round(elapsed, 3),
+        "metrics": extra_metrics or {},
+    }
+    tmp = manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path(out_dir))  # atomic completion marker
+    return manifest

@@ -1,0 +1,245 @@
+"""Unit tests for the pure kernel library (SURVEY.md §5 test plan, item 1).
+
+Mirrors the reference's own unit coverage: formatter flavors
+(test_ttl_compare.py:209-264), prefix compaction (:267-305), prefix
+membership (:308-345), command serialization incl. skip rules (:128-206),
+plus the scalar catalog (§2.8)."""
+
+from __future__ import annotations
+
+from kgray.kernels import rdf
+from kgray.kernels.assemble import raw_claim_to_triples
+from kgray.kernels.htmltext import extract_text, parse_page
+from kgray.kernels.ids import reference_hash, statement_id, time_node_id
+from kgray.kernels.link import (
+    build_alias_index,
+    compile_surface_pattern,
+    detect_and_link,
+    score_candidates,
+    tokenize,
+)
+
+
+class TestFormatObject:
+    def test_lang_literal(self):
+        assert rdf.format_object("Bonjour", "literal", "fr", None) == '"Bonjour"@fr'
+
+    def test_datatype_literal_xsd_compaction_and_tz(self):
+        got = rdf.format_object(
+            "2021-01-01T00:00:00+00:00", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#dateTime",
+        )
+        assert got == '"2021-01-01T00:00:00Z"^^xsd:dateTime'
+
+    def test_quote_escaping(self):
+        assert rdf.format_object('say "hi"', "literal", None, None) == '"say \\"hi\\""'
+
+    def test_plain_literal(self):
+        assert rdf.format_object("Hello World", "literal", None, None) == '"Hello World"'
+
+    def test_full_uri(self):
+        assert rdf.format_object("https://example.org/x", "iri", None, None) == "<https://example.org/x>"
+
+    def test_known_uri_compacts(self):
+        assert rdf.format_object("http://www.wikidata.org/entity/Q42", "iri", None, None) == "wd:Q42"
+
+    def test_prefixed_passthrough(self):
+        assert rdf.format_object("wd:Q42", "iri", None, None) == "wd:Q42"
+
+    def test_blank_node(self):
+        assert rdf.format_object("_:b0", "iri", None, None) == "_:b0"
+
+
+class TestPrefixes:
+    def test_compact_longest_wins(self):
+        assert rdf.compact_uri("http://www.wikidata.org/prop/statement/P31") == "ps:P31"
+        assert rdf.compact_uri("http://www.wikidata.org/prop/P31") == "p:P31"
+
+    def test_has_prefix(self):
+        assert rdf.has_prefix("wdt:P569")
+        assert not rdf.has_prefix("unknown:x")
+        assert not rdf.has_prefix("nocolon")
+
+    def test_header_contains_all(self):
+        for p in rdf.PREFIX_TO_URI:
+            assert f"PREFIX {p}: <" in rdf.PREFIX_HEADER
+
+
+class TestScalars:
+    def test_camel_case(self):
+        assert rdf.to_camel_case("preferred rank") == "PreferredRank"
+
+    def test_lang_normalization(self):
+        assert rdf.normalize_lang("pt_BR") == "pt-BR"
+
+    def test_scheme_normalization(self):
+        assert rdf.normalize_scheme("https://x.org") == "http://x.org"
+        assert rdf.normalize_scheme("http://x.org") == "http://x.org"
+
+    def test_bce_roundtrip(self):
+        ttl = '"-0347-01-01T00:00:00Z"^^xsd:dateTime'
+        enc = rdf.encode_bce(ttl)
+        assert "BCE_0347" in enc and not enc.startswith('"-')
+        assert rdf.decode_bce("BCE_0347-01-01T00:00:00Z") == "-0347-01-01T00:00:00Z"
+
+    def test_command(self):
+        got = rdf.triple_to_command("INSERT", "wd:Q42", "wdt:P569", '"1952-03-11"^^xsd:date')
+        assert got == 'INSERT DATA { wd:Q42 wdt:P569 "1952-03-11"^^xsd:date . };'
+
+    def test_rdf_type_renders_a(self):
+        got = rdf.triple_to_command("DELETE", "wd:Q42", "rdf:type", "schema:Thing")
+        assert got == "DELETE DATA { wd:Q42 a schema:Thing . };"
+
+
+class TestFilters:
+    def test_owl(self):
+        assert rdf.is_owl_triple("http://www.w3.org/2002/07/owl#Thing", "p", "o")
+        assert not rdf.is_owl_triple("wd:Q42", "wdt:P31", "wd:Q5")
+
+    def test_foreign_subject(self):
+        assert rdf.is_foreign_subject("wd:Q99", "Q42")
+        assert rdf.is_foreign_subject("wd:P31", "Q42")
+        assert not rdf.is_foreign_subject("wd:Q42", "Q42")
+        assert not rdf.is_foreign_subject("s:Q42-abc", "Q42")
+
+
+class TestIds:
+    def test_deterministic(self):
+        a = statement_id("Q42", "P31", "Q5")
+        assert a == statement_id("Q42", "P31", "Q5")
+        assert a.startswith("Q42-")
+        assert statement_id("Q42", "P31", "Q6") != a
+        assert len(time_node_id("2020-01-01T00:00:00Z", 11, 0, "wd:Q1985727")) == 40
+        assert len(reference_hash("Q42", "P31", "P854", "x")) == 40
+
+
+class TestHtml:
+    HTML = (
+        '<html><head><title>T</title></head><body data-entity="Q42" lang="en">'
+        "<h1>Douglas Adams</h1>"
+        '<p class="description" lang="pt_BR">escritor</p>'
+        '<div class="claims"><div class="claim" data-prop="P569" data-type="time">'
+        '<a href="/wiki/Property:P569">P569</a>: '
+        '<span class="wb-time-rendered">1952-03-11T00:00:00+00:00</span></div></div>'
+        '<p class="body-text">See <a href="/wiki/Q90">Paris</a> for more.</p>'
+        '<table class="diff"><tr><td class="diff-lineno">'
+        '<a href="/wiki/Property:P106">P106</a></td></tr>'
+        '<tr><td class="diff-deletedline"><del class="diffchange">'
+        '<a href="/wiki/Q36180">writer</a></del></td></tr></table>'
+        "</body></html>"
+    )
+
+    def test_extract_text_rules(self):
+        txt = extract_text("<p>a   b</p><div>c<span> d</span></div><p></p>")
+        assert txt == "a b\nc d"
+
+    def test_parse_page(self):
+        p = parse_page(self.HTML, "u")
+        assert p["entity"] == "Q42"
+        kinds = [c["kind"] for c in p["claims"]]
+        assert kinds.count("label") == 1 and "claim" in kinds and "diff" in kinds
+        diff = [c for c in p["claims"] if c["kind"] == "diff"][0]
+        assert diff == dict(entity="Q42", kind="diff", prop="P106",
+                            vtype="wikibase-entityid", value="Q36180", lang="",
+                            rank="normal", parent_prop="", parent_value="", op="delete")
+        assert p["mentions"][0]["qid_hint"] == "Q90"
+
+    def test_byte_identity_on_corpus(self):
+        from kgray.fixtures import gen_page
+
+        for i in range(30):
+            page = gen_page(i)
+            assert extract_text(page["html"]) == page["text"], page["url"]
+
+
+class TestAssemble:
+    def test_claim_scaffold(self):
+        rows = raw_claim_to_triples(
+            dict(entity="Q42", kind="claim", prop="P31", vtype="wikibase-entityid",
+                 value="Q5", lang="", rank="normal", parent_prop="", parent_value="", op="")
+        )
+        sid = "s:" + statement_id("Q42", "P31", "Q5")
+        trip = {(s, p, o) for (s, p, o, *_rest) in rows}
+        assert ("wd:Q42", "p:P31", sid) in trip
+        assert (sid, "rdf:type", "wikibase:Statement") in trip
+        assert (sid, "rdf:type", "wikibase:BestRank") in trip
+        assert (sid, "ps:P31", "wd:Q5") in trip
+        assert ("wd:Q42", "wdt:P31", "wd:Q5") in trip
+
+    def test_url_string_claim_gets_normalized_forms(self):
+        rows = raw_claim_to_triples(
+            dict(entity="Q42", kind="claim", prop="P856", vtype="string",
+                 value="https://example.org", lang="", rank="normal",
+                 parent_prop="", parent_value="", op="")
+        )
+        preds = {p for (_s, p, _o, *_r) in rows}
+        assert {"psn:P856", "wdtn:P856"} <= preds
+        objs = {o for (_s, p, o, *_r) in rows if p.endswith("n:P856")}
+        assert objs == {"<http://example.org>"}
+
+    def test_time_claim_expands_value_node(self):
+        rows = raw_claim_to_triples(
+            dict(entity="Q42", kind="claim", prop="P569", vtype="time",
+                 value="1952-03-11T00:00:00+00:00", lang="", rank="normal",
+                 parent_prop="", parent_value="", op="")
+        )
+        preds = [p for (_s, p, _o, *_r) in rows]
+        assert "psv:P569" in preds and "wikibase:timeValue" in preds
+        tv = [o for (_s, p, o, *_r) in rows if p == "wikibase:timeValue"]
+        assert tv == ["1952-03-11T00:00:00Z"]  # +00:00 -> Z
+
+    def test_diff_delete_op(self):
+        rows = raw_claim_to_triples(
+            dict(entity="Q42", kind="diff", prop="P106", vtype="wikibase-entityid",
+                 value="Q36180", lang="", rank="normal", parent_prop="",
+                 parent_value="", op="delete")
+        )
+        assert {op for (*_x, op) in rows} == {"DELETE"}
+
+    def test_reference_nested(self):
+        rows = raw_claim_to_triples(
+            dict(entity="Q42", kind="reference", prop="P854", vtype="string",
+                 value="https://src.net/1", lang="", rank="", parent_prop="P31",
+                 parent_value="Q5", op="")
+        )
+        sid = "s:" + statement_id("Q42", "P31", "Q5")
+        rid = "ref:" + reference_hash("Q42", "P31", "P854", "https://src.net/1")
+        trip = {(s, p, o) for (s, p, o, *_r) in rows}
+        assert (sid, "prov:wasDerivedFrom", rid) in trip
+        assert (rid, "rdf:type", "wikibase:Reference") in trip
+        assert (rid, "pr:P854", "https://src.net/1") in trip
+
+
+class TestLinker:
+    ALIASES = [
+        dict(surface_form="Mercury", qid="Q308", prior=0.55,
+             context_keywords="planet orbit sun"),
+        dict(surface_form="Mercury", qid="Q925", prior=0.45,
+             context_keywords="element metal chemistry"),
+        dict(surface_form="Berlin", qid="Q64", prior=0.95,
+             context_keywords="germany capital"),
+    ]
+
+    def test_context_disambiguation(self):
+        idx = build_alias_index(self.ALIASES)
+        pat = compile_surface_pattern(list(idx))
+        got = detect_and_link("Mercury is a toxic metal element.", idx, pat)
+        assert [(s, q) for s, q, *_ in got] == [("Mercury", "Q925")]
+        got = detect_and_link("Mercury orbits the sun.", idx, pat)
+        assert [(s, q) for s, q, *_ in got] == [("Mercury", "Q308")]
+
+    def test_prior_tiebreak(self):
+        idx = build_alias_index(self.ALIASES)
+        assert score_candidates(idx["Mercury"], tokenize("no context words")) == "Q308"
+
+    def test_linked_span_skipped(self):
+        idx = build_alias_index(self.ALIASES)
+        pat = compile_surface_pattern(list(idx))
+        text = "Berlin and Berlin"
+        got = detect_and_link(text, idx, pat, [(0, 6)])
+        assert len(got) == 1 and got[0][2] == 11
+
+    def test_word_boundaries(self):
+        idx = build_alias_index(self.ALIASES)
+        pat = compile_surface_pattern(list(idx))
+        assert detect_and_link("Berliner things", idx, pat) == []
