@@ -1,44 +1,276 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline; ``queries()`` maps
+every implemented operator from SURVEY.md §2 (plus the training-data ops:
+dedup / similarity search / text analysis) to a callable over ``sf_dir``;
+``oracle_sql()`` gives the DuckDB restatement for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name + rounding contract: every aggregate/computed column is named
+identically in the Ray pipeline and the SQL (AS ...); floats produced by
+arithmetic are rounded the same way on both sides, and ratio-valued outputs
+are emitted as exact integer numerator/denominator pairs where a rounded
+dyadic float could hash-mismatch (see pipelines/textproc.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_ROOT = "/tmp/kgray_corpus"
+# synthetic pages per testdata scale factor (BASELINE.json input_hint shape;
+# synthesised deterministically — no external data)
+_SF_PAGES = {"sf0.001": 240, "sf0.01": 1200, "sf0.1": 6000}
+
+
+def pages_paths_for(sf_dir: str) -> list[str]:
+    """Deterministic pages corpus sized to the testdata scale factor, written
+    once under /tmp (sharded parquet; shards are resume-skipped)."""
+    from kgray.fixtures import write_pages_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_PAGES.get(tag, 240)
+    out = os.path.join(_CORPUS_ROOT, f"{tag}-{n}")
+    return write_pages_corpus(out, n, shard_rows=max(60, n // 16))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: pages -> extract -> link ->
+    assemble -> canonicalize.  Returns the lazy ops Dataset."""
+    from kgray.pipelines.kg import read_pages, kg_triples
+
+    paths = pages_paths_for("/root/testdata/sf0.001")
+    return kg_triples(read_pages(paths))
+
+
+def _kg_ops(sf_dir: str):
+    from kgray.pipelines.kg import read_pages, kg_triples
+
+    return kg_triples(read_pages(pages_paths_for(sf_dir)))
+
+
+def _kg_commands(sf_dir: str):
+    from kgray.stages.serialize import serialize_stage
+
+    return serialize_stage(_kg_ops(sf_dir))
+
+
+def _media_features(sf_dir: str):
+    from kgray.pipelines.multimodal import media_features
+
+    return media_features(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kgray.pipelines import relational as R
+    from kgray.pipelines import simsearch as S
+    from kgray.pipelines import textproc as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational operator suite (SURVEY.md §2 mappings) ---
+        "filter_regex": R.filter_regex,          # M1
+        "window_agg": R.window_agg,              # O3
+        "groupby_sum": R.groupby_sum,            # A1 (partial/combiner)
+        "topk_orders": R.topk_orders,            # O1/O2 local+global top-k
+        "broadcast_join_agg": R.broadcast_join_agg,  # §2.4 broadcast join
+        "hash_join_agg": R.hash_join_agg,        # §2.4 big-big shuffle join
+        "anti_join": R.anti_join,                # §2.7 EXCEPT shape
+        "semi_join": R.semi_join,                # §2.4 existence join
+        "distinct_pairs": R.distinct_pairs,      # §2.7 exact distinct
+        "union_agg": R.union_agg,                # A2 union of branches
+        "salted_groupby": R.salted_groupby,      # A4 skew-salted two-phase
+        "scalar_funcs": R.scalar_funcs,          # §2.8 scalar catalog
+        "diff_ops": R.diff_ops,                  # §2.4 snapshot-diff anti-join
+        # --- training-data text ops ---
+        "dedup_exact": T.dedup_exact,
+        "dedup_normalized": T.dedup_normalized,
+        "token_stats": T.token_stats,
+        "quality_score": T.quality_score,
+        "lang_id": T.lang_id,
+        "ngram_jaccard": T.ngram_jaccard_pairs,
+        "minhash_lsh": T.minhash_lsh_pairs,      # rows-only (probabilistic)
+        "simhash": T.simhash_signatures,         # rows-only
+        "fingerprints": T.fingerprints,          # rows-only
+        # --- similarity search ---
+        "media_features": _media_features,      # rows-only (binary plumbing)
+        "knn_brute": S.knn_brute,
+        "knn_ivf": S.knn_ivf,                    # rows-only (approximate)
+        "neardup_cosine": S.neardup_cosine,
+        "label_stats": S.label_stats,
+        # --- KG flagship (synthetic pages corpus; oracled by kgray.oracle
+        #     in tests — not SQL-expressible) ---
+        "kg_triples": _kg_ops,
+        "kg_commands": _kg_commands,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgray.pipelines.relational import (
+        HIGH_PRICE, REGEX_PATTERN, SHIP_CUTOFF, TOPK_N, UNION_PRICE,
+        WINDOW_END, WINDOW_START,
+    )
+    from kgray.pipelines.simsearch import N_QUERIES, NEARDUP_SIM, TOP_K
+    from kgray.pipelines.textproc import JACCARD_THRESHOLD
+
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    return {
+        "filter_regex": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE regexp_matches(text, '{REGEX_PATTERN}') AND lang = 'en'
+        """,
+        "window_agg": f"""
+            SELECT event_type, count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '{WINDOW_START}' AND ts < TIMESTAMP '{WINDOW_END}'
+            GROUP BY event_type
+        """,
+        "groupby_sum": f"""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
+                       AS sum_disc_price_e4,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT {TOPK_N}
+        """,
+        "broadcast_join_agg": """
+            SELECT r_name, count(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "hash_join_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "anti_join": f"""
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > {HIGH_PRICE})
+        """,
+        "semi_join": f"""
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > {HIGH_PRICE})
+        """,
+        "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        "union_agg": f"""
+            SELECT o_orderstatus, count(*) AS n FROM (
+                SELECT * FROM orders WHERE o_totalprice > {UNION_PRICE}
+                UNION ALL
+                SELECT * FROM orders
+                WHERE o_totalprice <= {UNION_PRICE} AND o_orderpriority = '1-URGENT'
+            ) GROUP BY o_orderstatus
+        """,
+        "salted_groupby": """
+            SELECT user_id, count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "scalar_funcs": """
+            SELECT p_partkey, upper(p_name) AS name_upper,
+                   replace(p_type, ' ', '_') AS type_key,
+                   length(p_name) AS name_len,
+                   regexp_extract(p_brand, '[0-9]+') AS brand_num
+            FROM part
+        """,
+        "diff_ops": """
+            SELECT doc_id, 'INSERT' AS op FROM (
+                SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+                EXCEPT SELECT doc_id FROM documents WHERE doc_id % 3 <> 0)
+            UNION ALL
+            SELECT doc_id, 'DELETE' AS op FROM (
+                SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+                EXCEPT SELECT doc_id FROM documents WHERE doc_id % 2 <> 0)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_cnt
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_normalized": f"""
+            SELECT md5({norm}) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_cnt
+            FROM documents GROUP BY md5({norm})
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   length(text) AS text_len
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id,
+                   length(lower(text)) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS alpha_cnt,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+                   length(text) - length(regexp_replace(text, '\s', '', 'g')) AS space_cnt,
+                   length(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS stop_cnt
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH s AS (
+                SELECT lang,
+                    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en_s,
+                    length(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS fr_s,
+                    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_s,
+                    length(regexp_extract_all(lower(text), '\b(el|los|las|y|una|que)\b')) AS es_s
+                FROM documents)
+            SELECT lang,
+                   CASE WHEN en_s + fr_s + de_s + es_s = 0 THEN 'other'
+                        WHEN en_s >= fr_s AND en_s >= de_s AND en_s >= es_s THEN 'en'
+                        WHEN fr_s >= de_s AND fr_s >= es_s THEN 'fr'
+                        WHEN de_s >= es_s THEN 'de'
+                        ELSE 'es' END AS lang_pred,
+                   count(*) AS n
+            FROM s GROUP BY lang, lang_pred
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents WHERE trim(text) <> '')
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   length(list_intersect(a.t, b.t)) AS inter_cnt,
+                   length(list_distinct(list_concat(a.t, b.t))) AS union_cnt
+            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE length(list_intersect(a.t, b.t)) > 0
+              AND length(list_intersect(a.t, b.t)) * 1.0
+                  / length(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+        """,
+        "knn_brute": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES})
+            SELECT qid AS query_id, vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(qv, v), 4) AS sim
+            FROM q, e WHERE vec_id <> qid
+            QUALIFY row_number() OVER (
+                PARTITION BY qid
+                ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) <= {TOP_K}
+        """,
+        "neardup_cosine": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_SIM}
+        """,
+        "label_stats": """
+            SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+                   ROUND(AVG(sqrt(list_aggregate(
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                       'sum'))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -1,0 +1,148 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N, ...}
+
+``--scaling`` runs the flagship KG pipeline twice in FRESH processes at two
+parallelism levels (num_cpus and 4x fewer) on the same input and reports
+both throughputs + scaling efficiency (the sandbox stand-in for the
+north-rule N vs 4N cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline set: flagship KG pipeline + one representative per operator family
+HEADLINE = [
+    "kg_triples",
+    "groupby_sum",
+    "hash_join_agg",
+    "topk_orders",
+    "salted_groupby",
+    "dedup_normalized",
+    "minhash_lsh",
+    "knn_brute",
+]
+
+
+def _consume(res) -> int:
+    """Drive a lazy result to completion without materializing it on the
+    driver; returns the row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += len(b)
+        return n
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_queries(names: list[str], sf_dir: str) -> tuple[dict, dict]:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times, rows
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(NUM_CPUS)
+    t0 = time.perf_counter()
+    times, rows = run_queries(HEADLINE, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    kg_rows = rows.get("kg_triples", 0)
+    kg_sec = times.get("kg_triples", 0.0) or 1e-9
+    print(json.dumps({
+        "metric": "headline pipelines wall-clock (kg construction + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "kg_triples_per_sec": round(kg_rows / kg_sec, 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+def _single(num_cpus: int) -> None:
+    """One fresh-process flagship run (invoked by --scaling)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(num_cpus)
+    import __ray_entry__ as e
+
+    # corpus generation excluded from timing (shared input, written once)
+    e.pages_paths_for(SF_DIR)
+    t0 = time.perf_counter()
+    n = _consume(e.queries()["kg_triples"](SF_DIR))
+    sec = time.perf_counter() - t0
+    print(json.dumps({"num_cpus": num_cpus, "sec": round(sec, 3), "rows": n}))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling() -> None:
+    lo, hi = max(1, NUM_CPUS // 4), NUM_CPUS
+    results = {}
+    for n in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(n)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr = {n: results[n]["rows"] / results[n]["sec"] for n in results}
+    eff = (thr[hi] / thr[lo]) / (hi / lo)
+    print(json.dumps({
+        "metric": "kg pipeline scaling efficiency (fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {f"cpus_{n}": round(results[n]["sec"], 3) for n in results},
+        "throughput_rows_per_sec": {str(n): round(thr[n], 1) for n in results},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "note": "single physical node; parallelism levels emulate N vs 4N cluster sizes",
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--single":
+        _single(int(sys.argv[2]))
+    else:
+        main()

@@ -1,0 +1,397 @@
+"""Relational operator suite over the testdata star schema.
+
+Each function here is one SURVEY.md §2 operator family re-expressed
+Ray-Data-first over the driver's TPC-H-ish tables, with an exact DuckDB SQL
+oracle registered in ``__ray_entry__.oracle_sql``.  These are the
+SQL-checkable half of the engine's surface (the KG pipeline itself runs on
+the synthetic pages corpus and is oracled by ``kgray.oracle``).
+
+Scale notes applied throughout:
+* reads prune columns at the source (``read_parquet(columns=...)``);
+* aggregations are two-phase: a per-batch Arrow ``group_by`` combiner
+  collapses rows BEFORE the one hash exchange (SURVEY.md §4 skew row);
+* small dims broadcast (stages.joins.broadcast_join), big-big joins use the
+  native hash-shuffle join;
+* top-k never globally sorts the input: per-batch local top-k first, then a
+  tiny global sort over ≤k·num_batches rows;
+* floats that result from arithmetic are rounded identically on both sides
+  (ROUND(x, 2)) so the driver's value-hash is stable.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..stages.joins import broadcast_join, hash_anti_join, hash_semi_join
+
+# -- thresholds shared by the Ray pipelines and the SQL oracles -------------
+REGEX_PATTERN = "spark"
+WINDOW_START = _dt.datetime(2024, 1, 10)
+WINDOW_END = _dt.datetime(2024, 1, 20)
+SHIP_CUTOFF = _dt.datetime(1998, 9, 2)
+TOPK_N = 20
+HIGH_PRICE = 400_000.0
+UNION_PRICE = 200_000.0
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"),
+        columns=list(columns) if columns else None,
+    )
+
+
+def _round2(batch: pa.Table, cols) -> pa.Table:
+    for c in cols:
+        batch = batch.set_column(
+            batch.column_names.index(c), c, pc.round(batch[c], 2)
+        )
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# M1 — vectorized regex filter (reference: Q\d+ title filter,
+# sparql_updates.py:442; pattern matching via pc kernels, no Python rows)
+# ---------------------------------------------------------------------------
+
+def filter_regex(sf_dir: str):
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.match_substring_regex(b["text"], REGEX_PATTERN),
+            pc.equal(b["lang"], "en"),
+        )
+        return b.filter(mask).drop_columns(["text"])
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O3 — time-window filter + aggregate (reference: rcstart/rcend window,
+# sparql_updates.py:126-127)
+# ---------------------------------------------------------------------------
+
+def window_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def in_window(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b["ts"], pa.scalar(WINDOW_START, pa.timestamp("us"))),
+            pc.less(b["ts"], pa.scalar(WINDOW_END, pa.timestamp("us"))),
+        )
+        return b.filter(mask).drop_columns(["ts"])
+
+    out = (
+        ev.map_batches(in_window, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+    return out.map_batches(lambda b: _round2(b, ["sum_value"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A1 — grouped aggregation with an explicit partial/combiner phase
+# (reference: per-entity block assembly, get_updates.py:517-572; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def groupby_sum(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        """Per-batch combiner: filter + derive + local group_by.  Collapses
+        ~64k rows to ≤|keys| partials before the hash exchange."""
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(SHIP_CUTOFF, pa.timestamp("us"))))
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.Table.from_pydict(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "base": b["l_extendedprice"],
+                "disc": disc,
+                "cnt": pa.array([1] * len(b), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("base", "sum"), ("disc", "sum"), ("cnt", "sum")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "qty", "base", "disc", "cnt"]
+            )
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base", alias_name="sum_base_price"),
+            Sum("disc", alias_name="sum_disc_price_e4"),
+            Sum("cnt", alias_name="count_order"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = _round2(b, ["sum_qty", "sum_base_price"])
+        # disc_price terms carry exactly 4 decimal digits, so the rounded-2
+        # sum sits exactly on .005 midpoints and float noise would decide the
+        # direction differently per engine — emit exact integer 1e-4 units.
+        i = b.column_names.index("sum_disc_price_e4")
+        e4 = pc.cast(pc.round(pc.multiply(b["sum_disc_price_e4"], 10000.0), 0), pa.int64())
+        return b.set_column(i, "sum_disc_price_e4", e4)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — top-k without a global sort of the input (reference: merge+sort by
+# timestamp, get_updates.py:1171-1176; limit, sparql_updates.py:128)
+# ---------------------------------------------------------------------------
+
+def topk_orders(sf_dir: str):
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        return b.sort_by(
+            [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, TOPK_N)
+
+    reduced = orders.map_batches(local_topk, batch_format="pyarrow")
+    # global phase: tiny — at most k rows per input batch survive
+    return reduced.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(TOPK_N)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — broadcast small-side join chain + rollup (alias-table pattern)
+# ---------------------------------------------------------------------------
+
+def broadcast_join_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = read_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    enriched = broadcast_join(
+        cust, nation, on="c_nationkey", right_on="n_nationkey",
+        dim_cols=["n_regionkey"],
+    )
+    enriched = broadcast_join(
+        enriched, region, on="n_regionkey", right_on="r_regionkey",
+        dim_cols=["r_name"],
+    )
+    out = enriched.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="sum_acctbal"),
+    )
+    return out.map_batches(lambda b: _round2(b, ["sum_acctbal"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — big-big hash-shuffle join + rollup (native Dataset.join)
+# ---------------------------------------------------------------------------
+
+def hash_join_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_totalprice"),
+    )
+    return out.map_batches(lambda b: _round2(b, ["sum_totalprice"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — existence joins (anti/semi), the diff-engine physical shape
+# ---------------------------------------------------------------------------
+
+def anti_join(sf_dir: str):
+    """Customers with no order above HIGH_PRICE."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr=f"o_totalprice > {HIGH_PRICE}"
+    ).rename_columns({"o_custkey": "c_custkey"})
+    return hash_anti_join(cust, big, on="c_custkey")
+
+
+def semi_join(sf_dir: str):
+    """Customers with at least one order above HIGH_PRICE."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr=f"o_totalprice > {HIGH_PRICE}"
+    ).rename_columns({"o_custkey": "c_custkey"})
+    return hash_semi_join(cust, big, on="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — distinct (exact dedup of a key tuple) with local combiner
+# ---------------------------------------------------------------------------
+
+def distinct_pairs(sf_dir: str):
+    docs = read_table(sf_dir, "documents", ["lang", "source"])
+
+    def local(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"]).aggregate([])
+
+    out = docs.map_batches(local, batch_format="pyarrow")
+    return out.groupby(["lang", "source"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — union of branch outputs + rollup (reference: merged change lists,
+# get_updates.py:1171-1174)
+# ---------------------------------------------------------------------------
+
+def union_agg(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    orders = read_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice", "o_orderpriority"])
+    hi = orders.filter(expr=f"o_totalprice > {UNION_PRICE}")
+    lo = orders.filter(
+        expr=f"o_totalprice <= {UNION_PRICE} and o_orderpriority == '1-URGENT'"
+    )
+    return hi.union(lo).groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# A4 — salted two-phase aggregation (head-key skew mitigation, SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+def salted_groupby(sf_dir: str, *, salt_buckets: int = 8):
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["user_id", "value"])
+
+    def salt_partial(b: pa.Table) -> pa.Table:
+        """Phase 1: salt the key, then a local combiner per (key, salt).
+        Hot keys split across ``salt_buckets`` reducers instead of one."""
+        salt = pc.cast(pc.bit_wise_and(b["user_id"], salt_buckets - 1), pa.int32())
+        t = pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "salt": salt,
+                "n_events": pa.array([1] * len(b), pa.int64()),
+                "sum_value": b["value"],
+            }
+        )
+        return (
+            t.group_by(["user_id", "salt"])
+            .aggregate([("n_events", "sum"), ("sum_value", "sum")])
+            .rename_columns(["user_id", "salt", "n_events", "sum_value"])
+        )
+
+    phase1 = (
+        ev.map_batches(salt_partial, batch_format="pyarrow")
+        .groupby(["user_id", "salt"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+    # Phase 2: unsalt — tiny input (≤ keys × salt_buckets rows).
+    out = phase1.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+    return out.map_batches(lambda b: _round2(b, ["sum_value"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar function catalog, fully vectorized (pc kernels only)
+# ---------------------------------------------------------------------------
+
+def scalar_funcs(sf_dir: str):
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_brand"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        brand_num = pc.struct_field(
+            pc.extract_regex(b["p_brand"], r"(?P<m>[0-9]+)"), "m"
+        )
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": b["p_partkey"],
+                "name_upper": pc.utf8_upper(b["p_name"]),
+                "type_key": pc.replace_substring(b["p_type"], " ", "_"),
+                "name_len": pc.cast(pc.utf8_length(b["p_name"]), pa.int64()),
+                "brand_num": brand_num,
+            }
+        )
+
+    return parts.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.7/§2.4 — set difference both directions = snapshot diff shape
+# (ttl_compare.py:180-183 EXCEPT semantics over testdata-derived snapshots)
+# ---------------------------------------------------------------------------
+
+def diff_ops(sf_dir: str):
+    """old = docs with doc_id % 3 != 0, new = docs with doc_id % 2 != 0;
+    emits (doc_id, op) where op = INSERT (new-only) / DELETE (old-only).
+    One union + one groupby — the distributed EXCEPT of SURVEY.md §2.4."""
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def mod_filter(m: int):
+        def fn(b: pa.Table) -> pa.Table:
+            # `%` is not supported by filter(expr=...); vectorized pc kernel
+            return b.filter(pc.not_equal(
+                pc.subtract(b["doc_id"], pc.multiply(
+                    pc.divide(b["doc_id"], m), m)), 0))
+        return fn
+
+    old = docs.map_batches(mod_filter(3), batch_format="pyarrow")
+    new = docs.map_batches(mod_filter(2), batch_format="pyarrow")
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": b["doc_id"],
+                    "side": pa.array([side] * len(b), pa.int8()),
+                }
+            )
+        return fn
+
+    def emit(g: pa.Table) -> pa.Table:
+        sides = set(g["side"].to_pylist())
+        if sides == {1, 2}:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()), "op": pa.array([], pa.string())}
+            )
+        op = "INSERT" if sides == {2} else "DELETE"
+        return pa.Table.from_pydict(
+            {"doc_id": g["doc_id"].slice(0, 1), "op": pa.array([op], pa.string())}
+        )
+
+    tagged = old.map_batches(tag(1), batch_format="pyarrow").union(
+        new.map_batches(tag(2), batch_format="pyarrow")
+    )
+    return tagged.groupby("doc_id").map_groups(emit, batch_format="pyarrow")

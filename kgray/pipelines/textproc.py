@@ -1,0 +1,402 @@
+"""Text-analysis + deduplication suite over the ``documents`` table.
+
+The operations a large-scale training-data pipeline needs, each expressed
+Ray-Data-first (vectorized Arrow kernels; shuffles only where semantics
+require; combiners before every exchange):
+
+* exact dedup          — hash-partition + per-group first        (SQL oracle)
+* normalized dedup     — canonicalize surface then exact dedup   (SQL oracle)
+* token stats          — regex token counting, pc kernels only   (SQL oracle)
+* quality scoring      — char-class/stopword counts              (SQL oracle)
+* language ID          — stopword-profile n-gram heuristic       (SQL oracle)
+* n-gram Jaccard dedup — bucketed all-pairs verify               (SQL oracle)
+* MinHash + LSH        — shingle→minhash→band→bucket groupby     (rows-only)
+* SimHash              — 64-bit, banded near-dup buckets         (rows-only)
+* fingerprinting       — rolling polynomial hash                 (rows-only)
+
+The probabilistic candidate generators (MinHash/SimHash) cannot be restated
+in SQL; their tests instead check recall against the exhaustive Jaccard
+oracle (tests/test_textproc.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# thresholds shared with the SQL oracles in __ray_entry__
+JACCARD_THRESHOLD = 0.5
+STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
+
+# stopword profiles for the language-ID heuristic; order is the tie-break
+# priority (first wins on equal score, 'other' when every score is 0).
+LANG_PROFILES: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|of|to|in|is)\b"),
+    ("fr", r"\b(le|la|les|et|des|une)\b"),
+    ("de", r"\b(der|die|das|und|ist|nicht)\b"),
+    ("es", r"\b(el|los|las|y|una|que)\b"),
+]
+
+# MinHash / SimHash parameters (word shingles; fixed so runs are stable).
+MINHASH_PERMS = 32
+LSH_BANDS = 16  # rows per band = MINHASH_PERMS // LSH_BANDS = 2
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(7)
+_MH_A = _RNG.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+_MH_B = _RNG.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+
+_TOKEN_RE = re.compile(r"\s+")
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+
+
+def _md5_col(values: list[str]) -> pa.Array:
+    return pa.array([hashlib.md5(v.encode("utf-8")).hexdigest() for v in values], pa.string())
+
+
+# ---------------------------------------------------------------------------
+# exact + normalized dedup: local combiner -> one hash exchange -> per-group
+# first (the distributed "set semantics" of SURVEY.md §2.7 applied to docs)
+# ---------------------------------------------------------------------------
+
+def _dedup_by_hash(docs, hash_fn):
+    from ray.data.aggregate import Min, Sum
+
+    def local(b: pa.Table) -> pa.Table:
+        """Combiner: hash + per-batch partial (min doc_id, count) per hash."""
+        t = pa.Table.from_pydict(
+            {
+                "text_hash": hash_fn(b),
+                "keep_id": b["doc_id"],
+                "dup_cnt": pa.array([1] * len(b), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("text_hash")
+            .aggregate([("keep_id", "min"), ("dup_cnt", "sum")])
+            .rename_columns(["text_hash", "keep_id", "dup_cnt"])
+        )
+
+    return (
+        docs.map_batches(local, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("keep_id", alias_name="keep_id"),
+            Sum("dup_cnt", alias_name="dup_cnt"),
+        )
+    )
+
+
+def dedup_exact(sf_dir: str):
+    """One surviving (min doc_id) row per distinct text, with dup count."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return _dedup_by_hash(docs, lambda b: _md5_col(b["text"].to_pylist()))
+
+
+def normalize_text_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """lower → non-alnum runs to single space → trim.  pc kernels only; the
+    SQL oracle states the identical regexp_replace chain."""
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, pattern="[^a-z0-9]+", replacement=" ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def dedup_normalized(sf_dir: str):
+    """Exact dedup over the canonicalized surface form (A4 analog)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return _dedup_by_hash(
+        docs, lambda b: _md5_col(normalize_text_col(b["text"]).to_pylist())
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting + quality scoring: pure vectorized projections
+# ---------------------------------------------------------------------------
+
+def token_stats(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], r"\S+"), pa.int64()
+                ),
+                "text_len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _removed_len(col, pattern: str):
+    """#chars matching a class = len(text) - len(text with class removed)."""
+    stripped = pc.replace_substring_regex(col, pattern=pattern, replacement="")
+    return pc.subtract(pc.utf8_length(col), pc.utf8_length(stripped))
+
+
+def quality_score(sf_dir: str):
+    """Integer char-class + stopword counts per doc (hash-stable: no floats)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        lower = pc.utf8_lower(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "alpha_cnt": pc.cast(_removed_len(lower, "[a-z]"), pa.int64()),
+                "digit_cnt": pc.cast(_removed_len(t, "[0-9]"), pa.int64()),
+                "space_cnt": pc.cast(_removed_len(t, r"\s"), pa.int64()),
+                "stop_cnt": pc.cast(
+                    pc.count_substring_regex(lower, STOPWORD_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID: stopword-profile heuristic (scores are exact integers, so the
+# argmax is restatable in SQL; confusion matrix = tiny groupby output)
+# ---------------------------------------------------------------------------
+
+def lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(b["text"])
+        scores = [
+            pc.count_substring_regex(lower, pat).to_numpy(zero_copy_only=False)
+            for _, pat in LANG_PROFILES
+        ]
+        mat = np.stack(scores, axis=1)  # (n, n_langs)
+        best = mat.argmax(axis=1)  # first max wins = profile priority order
+        pred = np.array([lang for lang, _ in LANG_PROFILES], dtype=object)[best]
+        pred[mat.max(axis=1) == 0] = "other"
+        return pa.Table.from_pydict(
+            {"lang": b["lang"], "lang_pred": pa.array(pred.tolist(), pa.string())}
+        )
+
+    return (
+        docs.map_batches(fn, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: bucketed exhaustive verify.  Buckets (here:
+# ``source``) bound the O(b²) pair work per group; at 100 TB the bucket key
+# is an LSH band (minhash_lsh below) instead of a metadata column — the
+# physical shape (groupby bucket → pairwise verify inside the group) is the
+# same.
+# ---------------------------------------------------------------------------
+
+def _token_sets(texts: list[str]) -> list[set]:
+    return [set(_TOKEN_RE.split(t.strip())) - {""} for t in texts]
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        toks = _token_sets(group["text"].to_pylist())
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        a_ids, b_ids, inters, unions = [], [], [], []
+        for x in range(len(order)):
+            i = order[x]
+            for y in range(x + 1, len(order)):
+                j = order[y]
+                inter = len(toks[i] & toks[j])
+                if not inter:
+                    continue
+                uni = len(toks[i] | toks[j])
+                # integer counts, not a rounded float: Python round() is
+                # half-to-even, DuckDB ROUND is half-away — exact dyadic
+                # ratios (e.g. 17/32) would hash-mismatch.
+                if inter / uni >= JACCARD_THRESHOLD:
+                    a_ids.append(ids[i])
+                    b_ids.append(ids[j])
+                    inters.append(inter)
+                    unions.append(uni)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a_ids, pa.int64()),
+                "doc_b": pa.array(b_ids, pa.int64()),
+                "inter_cnt": pa.array(inters, pa.int64()),
+                "union_cnt": pa.array(unions, pa.int64()),
+            }
+        )
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup: shingle → minhash (vectorized) → band → bucket
+# groupby → pairwise verify inside buckets → global pair dedup.
+# Probabilistic candidate generation — no SQL restatement; recall vs the
+# exhaustive Jaccard oracle is asserted in tests.
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(tokens: set) -> np.ndarray:
+    if not tokens:
+        return np.full(MINHASH_PERMS, _MERSENNE, dtype=np.int64)
+    h = np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 3
+         for t in tokens],
+        dtype=np.int64,
+    )
+    # (perms, tokens) permutation-hash matrix, min over tokens
+    vals = (_MH_A[:, None] * h[None, :] + _MH_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_lsh_pairs(sf_dir: str):
+    """Near-dup candidate pairs via MinHash banding, verified with true
+    Jaccard.  One shuffle on the band-bucket key; hot buckets are bounded by
+    the band width (2 rows/band ⇒ bucket = docs agreeing on 2 minhashes)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        """1 doc -> LSH_BANDS bucket rows (band id + band-hash key)."""
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out_key, out_id, out_text = [], [], []
+        for i, tok in enumerate(_token_sets(texts)):
+            sig = _minhash_sig(tok)
+            for band in range(LSH_BANDS):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                key = f"{band}:" + hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8
+                ).hexdigest()
+                out_key.append(key)
+                out_id.append(ids[i])
+                out_text.append(texts[i])
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(out_key, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        if len(ids) < 2:
+            return pa.Table.from_pydict(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "jac": pa.array([], pa.float64())}
+            )
+        toks = _token_sets(group["text"].to_pylist())
+        seen, a_ids, b_ids, jacs = set(), [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                i, j = sorted((ids[x], ids[y]))
+                if i == j or (i, j) in seen:
+                    continue
+                seen.add((i, j))
+                inter = len(toks[x] & toks[y])
+                if not inter:
+                    continue
+                jac = inter / len(toks[x] | toks[y])
+                if jac >= JACCARD_THRESHOLD:
+                    a_ids.append(i)
+                    b_ids.append(j)
+                    jacs.append(round(jac, 4))
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array(a_ids, pa.int64()), "doc_b": pa.array(b_ids, pa.int64()),
+             "jac": pa.array(jacs, pa.float64())}
+        )
+
+    candidates = (
+        docs.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    # same pair can fire in several bands -> global exact dedup on the pair key
+    return candidates.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature per doc + banded near-dup buckets
+# ---------------------------------------------------------------------------
+
+def _simhash64(tokens: set) -> int:
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
+        acc += np.where(bits == 1, 1, -1)
+    return int("".join("1" if v > 0 else "0" for v in acc), 2)
+
+
+def simhash_signatures(sf_dir: str):
+    """doc_id -> 64-bit simhash (hex).  Deterministic; rows-only check."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        sigs = [f"{_simhash64(t):016x}" for t in _token_sets(b["text"].to_pylist())]
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "simhash": pa.array(sigs, pa.string())}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (winnowing-style document fingerprint)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def fingerprints(sf_dir: str, *, window: int = 4):
+    """Min-sampled rolling polynomial hash over token windows: a compact
+    content fingerprint robust to local edits.  Deterministic; rows-only."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(text: str) -> str:
+        toks = [t for t in _TOKEN_RE.split(text.strip()) if t]
+        if not toks:
+            return "0" * 16
+        hashes = [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") % _FP_MOD
+            for t in toks
+        ]
+        best = None
+        for i in range(max(1, len(hashes) - window + 1)):
+            acc = 0
+            for h in hashes[i:i + window]:
+                acc = (acc * _FP_BASE + h) % _FP_MOD
+            best = acc if best is None else min(best, acc)
+        return f"{best:016x}"
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "fingerprint": pa.array([fp(t) for t in b["text"].to_pylist()], pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

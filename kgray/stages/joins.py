@@ -1,0 +1,93 @@
+"""Distributed join operators (SURVEY.md §2.4).
+
+The reference has no relational join — its "joins" are per-record HTTP
+lookups (S4, ST1-ST3 at get_updates.py:668-881).  The engine provides the
+two scale-shaped join families:
+
+* ``broadcast_join`` — small-side hash join: the dim table is materialized
+  once on the driver (small by contract), shipped to the object store ONCE
+  via ``ray.put``, and the per-task probe index is built once per
+  actor/task (never per batch).  No shuffle; the fact side streams.  This is
+  the alias-table pattern of SURVEY.md §2.4 generalized.
+* ``hash_semi_join`` / ``hash_anti_join`` — big-big existence joins on
+  Ray Data's native hash-shuffle join, with the right side first reduced to
+  DISTINCT keys by a per-batch combiner so only unique keys pay exchange
+  cost (the diff stage in stages/diff.py shares this physical shape).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import ray
+
+
+def _materialize_small(dim, columns: Sequence[str]) -> pa.Table:
+    """Driver-side materialize of a SMALL dataset (dims: region/nation/...).
+    Deliberate: broadcast joins only make sense when one side fits in one
+    object; big-big joins go through hash_semi/anti or Dataset.join."""
+    if isinstance(dim, pa.Table):
+        return dim.select(list(columns))
+    refs = dim.select_columns(list(columns)).to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def broadcast_join(facts, dim, *, on: str, right_on: str | None = None,
+                   dim_cols: Sequence[str], how: str = "inner",
+                   batch_size: int = 65536, concurrency=(1, 8)):
+    """facts ⋈ small-dim via object-store broadcast (no shuffle).
+
+    ``dim`` may be a Dataset or a pyarrow Table; ``dim_cols`` are the dim
+    columns appended to each matching fact row.  ``how`` ∈ {'inner','left'}.
+    """
+    right_on = right_on or on
+    dim_cols = list(dim_cols)
+    dim_ref = ray.put(_materialize_small(dim, [right_on, *dim_cols]))
+
+    class Probe:
+        def __init__(self):
+            table: pa.Table = ray.get(dim_ref)
+            keys = table[right_on].to_pylist()
+            vals = {c: table[c].to_pylist() for c in dim_cols}
+            self.index = {
+                k: tuple(vals[c][i] for c in dim_cols) for i, k in enumerate(keys)
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_pylist()
+            if how == "inner":
+                mask = [k in self.index for k in keys]
+                batch = batch.filter(pa.array(mask, pa.bool_()))
+                keys = [k for k, m in zip(keys, mask) if m]
+            miss = (None,) * len(dim_cols)
+            rows = [self.index.get(k, miss) for k in keys]
+            for j, c in enumerate(dim_cols):
+                batch = batch.append_column(c, pa.array([r[j] for r in rows]))
+            return batch
+
+    return facts.map_batches(Probe, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency)
+
+
+def distinct_keys(ds, key: str):
+    """Reduce a dataset to its unique key values: per-batch combiner (local
+    ``pyarrow`` group_by) so only unique keys cross the wire, then the global
+    distinct happens inside the downstream hash join / groupby."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({key: batch[key]}).group_by(key).aggregate([])
+
+    return ds.map_batches(local, batch_format="pyarrow")
+
+
+def hash_semi_join(left, right, *, on: str, num_partitions: int = 16):
+    """Rows of ``left`` whose key appears in ``right`` (one hash exchange)."""
+    return left.join(distinct_keys(right, on), join_type="left_semi",
+                     num_partitions=num_partitions, on=(on,))
+
+
+def hash_anti_join(left, right, *, on: str, num_partitions: int = 16):
+    """Rows of ``left`` whose key does NOT appear in ``right``."""
+    return left.join(distinct_keys(right, on), join_type="left_anti",
+                     num_partitions=num_partitions, on=(on,))

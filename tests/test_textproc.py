@@ -1,0 +1,61 @@
+"""Rows-only text ops: MinHash/LSH recall, SimHash + fingerprint determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(a, b) for a, b in zip(df["doc_a"], df["doc_b"])}
+
+
+def test_minhash_recall_vs_exhaustive(ray_session):
+    """LSH candidates (verified with true Jaccard) must recover nearly all
+    same-source pairs found by the exhaustive bucketed Jaccard pass.  With
+    2 rows/band x 16 bands, detection probability at jac=0.5 is
+    1-(1-0.25)^16 ≈ 0.99."""
+    from kgray.pipelines.textproc import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exhaustive = _pairs(ngram_jaccard_pairs(SF_DIR).to_pandas())
+    lsh = _pairs(minhash_lsh_pairs(SF_DIR).to_pandas())
+    assert exhaustive, "fixture should contain near-dup pairs"
+    recall = len(exhaustive & lsh) / len(exhaustive)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} too low"
+    # every LSH-emitted pair is Jaccard-verified, so none below threshold
+    from kgray.pipelines.textproc import JACCARD_THRESHOLD, _token_sets
+    import pandas as pd
+
+    lsh_df = minhash_lsh_pairs(SF_DIR).to_pandas()
+    assert (lsh_df["jac"] >= JACCARD_THRESHOLD).all()
+
+
+def test_simhash_deterministic_and_close_for_similar(ray_session):
+    from kgray.pipelines.textproc import simhash_signatures
+
+    a = simhash_signatures(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = simhash_signatures(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    assert a["simhash"].str.len().eq(16).all()
+
+
+def test_fingerprints_deterministic(ray_session):
+    from kgray.pipelines.textproc import fingerprints
+
+    a = fingerprints(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = fingerprints(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    assert len(a) == 500
+
+
+def test_simhash_hamming_tracks_jaccard():
+    """Property: token-identical docs get identical simhash; disjoint docs
+    differ.  Pure-kernel test, no Ray."""
+    from kgray.pipelines.textproc import _simhash64
+
+    s1 = _simhash64({"alpha", "beta", "gamma", "delta"})
+    s2 = _simhash64({"alpha", "beta", "gamma", "delta"})
+    s3 = _simhash64({"zeta", "omega", "kappa", "lambda"})
+    assert s1 == s2
+    assert bin(s1 ^ s3).count("1") > 8
