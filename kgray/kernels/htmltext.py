@@ -132,7 +132,12 @@ def extract_text(html: str | bytes) -> str:
       * whitespace runs inside a line collapse to one space; lines are
         stripped; empty lines are dropped; lines join with '\\n'.
     """
-    root = parse_html(html)
+    return extract_text_from_root(parse_html(html))
+
+
+def extract_text_from_root(root: Node) -> str:
+    """Same as :func:`extract_text` over an already-parsed tree — lets the
+    extract stage verify byte-identity and structure-parse with ONE DOM."""
     lines: list[str] = []
     buf: list[str] = []
 
@@ -212,15 +217,16 @@ def _claim_value(node: Node) -> tuple[str, str, str]:
     return "string", node.text(), ""
 
 
-def parse_page(html: str | bytes, url: str) -> dict:
+def parse_page(html: str | bytes, url: str, root: Node | None = None) -> dict:
     """Full structured parse of one synthetic page.
 
     Returns ``{"entity", "lang", "claims": [raw-claim dicts], "mentions":
     [mention dicts], "body_text"}`` — the flat rows the extract stage emits
     (schema.RAW_CLAIMS / schema.MENTIONS, minus url/warc_ts which the caller
-    supplies from the batch).
+    supplies from the batch).  Pass ``root`` to reuse an existing DOM.
     """
-    root = parse_html(html)
+    if root is None:
+        root = parse_html(html)
     body = root.find("body")
     entity = body.attrs.get("data-entity", "") if body else ""
     page_lang = body.attrs.get("lang", "en") if body else "en"

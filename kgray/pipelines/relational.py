@@ -217,7 +217,7 @@ def hash_join_agg(sf_dir: str):
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=16,
+        cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
     )
     out = joined.groupby("c_mktsegment").aggregate(

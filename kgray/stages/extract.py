@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..kernels.htmltext import extract_text, parse_page
+from ..kernels.htmltext import extract_text_from_root, parse_html, parse_page
 
 _OUT_FIELDS = [
     ("url", pa.string()),
@@ -58,11 +58,12 @@ def make_extract_fn(verify_text: bool = True):
                 cols[k].append(row.get(k, ""))
 
         for url, ts, html, text in zip(urls, tss, htmls, texts):
+            root = parse_html(html)  # ONE DOM for verify + structure parse
             if verify_text and text is not None:
-                recomputed = extract_text(html)
+                recomputed = extract_text_from_root(root)
                 if recomputed != text:
                     raise ValueError(f"text extraction drift for url={url!r}")
-            parsed = parse_page(html, url)
+            parsed = parse_page(html, url, root=root)
             ent = parsed["entity"]
             for row in parsed["claims"]:
                 emit(url, ts, row)

@@ -81,13 +81,13 @@ def distinct_keys(ds, key: str):
     return ds.map_batches(local, batch_format="pyarrow")
 
 
-def hash_semi_join(left, right, *, on: str, num_partitions: int = 16):
+def hash_semi_join(left, right, *, on: str, num_partitions: int = 8):
     """Rows of ``left`` whose key appears in ``right`` (one hash exchange)."""
     return left.join(distinct_keys(right, on), join_type="left_semi",
                      num_partitions=num_partitions, on=(on,))
 
 
-def hash_anti_join(left, right, *, on: str, num_partitions: int = 16):
+def hash_anti_join(left, right, *, on: str, num_partitions: int = 8):
     """Rows of ``left`` whose key does NOT appear in ``right``."""
     return left.join(distinct_keys(right, on), join_type="left_anti",
                      num_partitions=num_partitions, on=(on,))

@@ -44,6 +44,7 @@ def materialize_stage(
     inputs: list[str] | None = None,
     extra_metrics: dict | None = None,
     min_rows_per_file: int = 100_000,
+    doc_col: str | None = "src_url",
 ):
     """Sort, write, manifest.  Returns the manifest dict.
 
@@ -63,6 +64,27 @@ def materialize_stage(
 
     files = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
     rows = sum(pq.read_metadata(os.path.join(out_dir, p)).num_rows for p in files)
+    metrics = dict(extra_metrics or {})
+    if (
+        doc_col is not None
+        and files
+        and doc_col in pq.read_schema(os.path.join(out_dir, files[0])).names
+    ):
+        # per-partition lineage metrics (north rule): docs/sec, triples/doc.
+        # Reads ONLY the doc column of this partition's own files.
+        docs: set = set()
+        for p in files:
+            t = pq.read_table(os.path.join(out_dir, p), columns=[doc_col])
+            docs.update(t[doc_col].to_pylist())
+        n_docs = len(docs)
+        metrics.update(
+            {
+                "docs": n_docs,
+                "docs_per_sec": round(n_docs / elapsed, 2) if elapsed > 0 else None,
+                "rows_per_sec": round(rows / elapsed, 2) if elapsed > 0 else None,
+                "rows_per_doc": round(rows / n_docs, 2) if n_docs else None,
+            }
+        )
     manifest = {
         "inputs": inputs or [],
         "files": files,
@@ -70,7 +92,7 @@ def materialize_stage(
         "sort_key": list(sort_key) if sort_key else [],
         "descending": descending,
         "write_sec": round(elapsed, 3),
-        "metrics": extra_metrics or {},
+        "metrics": metrics,
     }
     tmp = manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
