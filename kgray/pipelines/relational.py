@@ -254,15 +254,21 @@ def semi_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def distinct_pairs(sf_dir: str):
+    from ray.data.aggregate import Count
+
     docs = read_table(sf_dir, "documents", ["lang", "source"])
 
     def local(b: pa.Table) -> pa.Table:
         return b.group_by(["lang", "source"]).aggregate([])
 
-    out = docs.map_batches(local, batch_format="pyarrow")
-    return out.groupby(["lang", "source"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # local combiner then ONE Arrow-native hash aggregate (a map_groups here
+    # would pay one Python call per distinct key — pathological at scale)
+    out = (
+        docs.map_batches(local, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="__n"))
     )
+    return out.map_batches(lambda b: b.drop_columns(["__n"]), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +376,8 @@ def diff_ops(sf_dir: str):
     old = docs.map_batches(mod_filter(3), batch_format="pyarrow")
     new = docs.map_batches(mod_filter(2), batch_format="pyarrow")
 
+    from ray.data.aggregate import Max, Min
+
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
             return pa.Table.from_pydict(
@@ -380,18 +388,19 @@ def diff_ops(sf_dir: str):
             )
         return fn
 
-    def emit(g: pa.Table) -> pa.Table:
-        sides = set(g["side"].to_pylist())
-        if sides == {1, 2}:
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()), "op": pa.array([], pa.string())}
-            )
-        op = "INSERT" if sides == {2} else "DELETE"
-        return pa.Table.from_pydict(
-            {"doc_id": g["doc_id"].slice(0, 1), "op": pa.array([op], pa.string())}
-        )
-
     tagged = old.map_batches(tag(1), batch_format="pyarrow").union(
         new.map_batches(tag(2), batch_format="pyarrow")
     )
-    return tagged.groupby("doc_id").map_groups(emit, batch_format="pyarrow")
+    # one Arrow-native hash aggregate; rows present on both sides have
+    # min<max and are dropped in a vectorized projection (no per-key Python)
+    agg = tagged.groupby("doc_id").aggregate(
+        Min("side", alias_name="side_min"), Max("side", alias_name="side_max")
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["side_min"], b["side_max"]))
+        op = pc.if_else(pc.equal(b["side_min"], 2),
+                        pa.scalar("INSERT"), pa.scalar("DELETE"))
+        return b.drop_columns(["side_min", "side_max"]).append_column("op", op)
+
+    return agg.map_batches(project, batch_format="pyarrow")

@@ -68,7 +68,7 @@ def _md5_col(values: list[str]) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 def _dedup_by_hash(docs, hash_fn):
-    from ray.data.aggregate import Min, Sum
+    from ..stages.shuffle import bucket_groupby
 
     def local(b: pa.Table) -> pa.Table:
         """Combiner: hash + per-batch partial (min doc_id, count) per hash."""
@@ -85,13 +85,19 @@ def _dedup_by_hash(docs, hash_fn):
             .rename_columns(["text_hash", "keep_id", "dup_cnt"])
         )
 
-    return (
-        docs.map_batches(local, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(
-            Min("keep_id", alias_name="keep_id"),
-            Sum("dup_cnt", alias_name="dup_cnt"),
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket reduction: key cardinality = #distinct
+        # texts, so the hash-bucket exchange (stages/shuffle.py), not Ray's
+        # per-row aggregate path
+        return (
+            t.group_by("text_hash", use_threads=False)
+            .aggregate([("keep_id", "min"), ("dup_cnt", "sum")])
+            .rename_columns(["text_hash", "keep_id", "dup_cnt"])
         )
+
+    return bucket_groupby(
+        docs.map_batches(local, batch_format="pyarrow"),
+        ["text_hash"], reduce_bucket,
     )
 
 
@@ -295,43 +301,65 @@ def minhash_lsh_pairs(sf_dir: str):
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        if len(ids) < 2:
-            return pa.Table.from_pydict(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "jac": pa.array([], pa.float64())}
-            )
-        toks = _token_sets(group["text"].to_pylist())
-        seen, a_ids, b_ids, jacs = set(), [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                i, j = sorted((ids[x], ids[y]))
-                if i == j or (i, j) in seen:
-                    continue
-                seen.add((i, j))
-                inter = len(toks[x] & toks[y])
-                if not inter:
-                    continue
-                jac = inter / len(toks[x] | toks[y])
-                if jac >= JACCARD_THRESHOLD:
-                    a_ids.append(i)
-                    b_ids.append(j)
-                    jacs.append(round(jac, 4))
+    def verify_buckets(t: pa.Table) -> pa.Table:
+        """All rows of one HASH bucket = many whole LSH band-buckets.
+        Iterate band-buckets via one sort + boundary slicing (one task call
+        covers thousands of band-buckets — map_groups per band-bucket paid
+        one interpreter call each)."""
+        t = t.sort_by([("bucket", "ascending")])
+        buckets = t["bucket"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        a_ids, b_ids, jacs = [], [], []
+        start = 0
+        n = len(buckets)
+        for end in range(1, n + 1):
+            if end < n and buckets[end] == buckets[start]:
+                continue
+            if end - start >= 2:
+                toks = [None] * (end - start)
+                for x in range(start, end):
+                    if toks[x - start] is None:
+                        toks[x - start] = _token_sets([texts[x]])[0]
+                for x in range(start, end):
+                    for y in range(x + 1, end):
+                        i, j = sorted((ids[x], ids[y]))
+                        if i == j:
+                            continue
+                        tx, ty = toks[x - start], toks[y - start]
+                        inter = len(tx & ty)
+                        if not inter:
+                            continue
+                        jac = inter / len(tx | ty)
+                        if jac >= JACCARD_THRESHOLD:
+                            a_ids.append(i)
+                            b_ids.append(j)
+                            jacs.append(round(jac, 4))
+            start = end
         return pa.Table.from_pydict(
             {"doc_a": pa.array(a_ids, pa.int64()), "doc_b": pa.array(b_ids, pa.int64()),
              "jac": pa.array(jacs, pa.float64())}
         )
 
-    candidates = (
-        docs.map_batches(to_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+    from ..stages.shuffle import bucket_groupby
+
+    candidates = bucket_groupby(
+        docs.map_batches(to_buckets, batch_format="pyarrow"),
+        ["bucket"], verify_buckets,
     )
-    # same pair can fire in several bands -> global exact dedup on the pair key
-    return candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+
+    # Same pair can fire in several bands -> global exact dedup on the pair
+    # key via the hash-bucket exchange + Arrow group_by (jac is identical
+    # across bands, min is arbitrary-but-deterministic).  Pair cardinality
+    # is O(near-dup pairs) — far too many micro-groups for map_groups.
+    def reduce_pairs(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["doc_a", "doc_b"], use_threads=False)
+            .aggregate([("jac", "min")])
+            .rename_columns(["doc_a", "doc_b", "jac"])
+        )
+
+    return bucket_groupby(candidates, ["doc_a", "doc_b"], reduce_pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -3,12 +3,18 @@
 
 The reference computes ``g_new - g_old`` / ``g_old - g_new`` with rdflib set
 difference in memory (ttl_compare.py:168-183).  Distributed, that is a
-hash anti-join in both directions, expressed as ONE shuffle:
+hash anti-join in both directions, expressed as ONE exchange with no
+per-group Python:
 
-    union(old tagged side=0, new tagged side=1)
-      -> per-batch combiner: collapse to (key, side_mask) partials
-      -> groupby(triple key) -> rows present on exactly one side
-           side=new only -> INSERT;  side=old only -> DELETE
+    union(old tagged side=1, new tagged side=2)
+      -> per-batch combiner: collapse to one (key cols, side) row per batch
+      -> hash-bucket exchange (stages/shuffle.py) -> per-bucket Arrow
+         group_by min/max of side
+      -> vectorized projection: min==max==2 -> INSERT (new only),
+         min==max==1 -> DELETE (old only), min<max -> unchanged (dropped)
+
+    (The bucket exchange — not ``groupby(keys).aggregate`` — because the key
+    cardinality is the triple count; see stages/shuffle.py.)
 
 An absent old side degenerates to pure INSERTs, matching the
 ``old_revision_id == 0`` shortcut (ttl_compare.py:339-340).  The owl /
@@ -21,8 +27,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_KEY_COLS = ("entity", "subj", "pred", "obj", "lang", "datatype")
-_SEP = "\x1f"
+KEY_COLS = ("entity", "subj", "pred", "obj", "lang", "datatype")
 
 
 def filter_triples(batch: pa.Table) -> pa.Table:
@@ -46,54 +51,42 @@ def filter_triples(batch: pa.Table) -> pa.Table:
 def _tag_side(side: int):
     def fn(batch: pa.Table) -> pa.Table:
         batch = filter_triples(batch)
-        key = pc.binary_join_element_wise(*[batch[c] for c in _KEY_COLS], _SEP)
-        # local combiner: one row per (key, side) per batch
-        t = pa.Table.from_pydict({"key": key}).group_by("key").aggregate([])
-        n = len(t)
-        return pa.Table.from_pydict(
-            {
-                "key": t["key"],
-                "side_mask": pa.array([side] * n, type=pa.int32()),
-            }
+        # local combiner: one row per key per batch, constant side column
+        t = (
+            batch.select(list(KEY_COLS))
+            .group_by(list(KEY_COLS), use_threads=False)
+            .aggregate([])
         )
+        return t.append_column("side", pa.array([side] * len(t), pa.int8()))
 
     return fn
 
 
-def _emit_ops(group: pa.Table) -> pa.Table:
-    mask = 0
-    for v in group["side_mask"].to_pylist():
-        mask |= v
-    if mask == 3:  # both sides -> unchanged
-        return group.schema.empty_table().append_column("op", pa.array([], pa.string()))
-    op = "INSERT" if mask == 2 else "DELETE"
-    one = group.take([0])
-    return one.append_column("op", pa.array([op], pa.string()))
-
-
 def diff_snapshots(old, new):
     """old/new triple Datasets (SNAPSHOTS columns incl. ``entity``) ->
-    ops Dataset with columns (key parts..., op).
+    ops Dataset with columns (key cols..., op).
 
     ``old`` may be None (no prior snapshot -> pure INSERTs).
     """
+    from .shuffle import bucket_groupby
+
     if old is None:
         tagged = new.map_batches(_tag_side(2), batch_format="pyarrow")
     else:
         tagged = old.map_batches(_tag_side(1), batch_format="pyarrow").union(
             new.map_batches(_tag_side(2), batch_format="pyarrow")
         )
-    ops = tagged.groupby("key").map_groups(_emit_ops, batch_format="pyarrow")
 
-    def unpack(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_pylist()
-        ops_col = batch["op"].to_pylist()
-        cols = {c: [] for c in _KEY_COLS}
-        for k in keys:
-            parts = k.split(_SEP)
-            for c, v in zip(_KEY_COLS, parts):
-                cols[c].append(v)
-        cols["op"] = ops_col
-        return pa.Table.from_pydict(cols)
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(list(KEY_COLS), use_threads=False)
+            .aggregate([("side", "min"), ("side", "max")])
+            .rename_columns(list(KEY_COLS) + ["side_min", "side_max"])
+        )
+        g = g.filter(pc.equal(g["side_min"], g["side_max"]))
+        op = pc.if_else(
+            pc.equal(g["side_min"], 2), pa.scalar("INSERT"), pa.scalar("DELETE")
+        )
+        return g.drop_columns(["side_min", "side_max"]).append_column("op", op)
 
-    return ops.map_batches(unpack, batch_format="pyarrow")
+    return bucket_groupby(tagged, KEY_COLS, reduce_bucket)

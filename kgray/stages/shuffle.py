@@ -1,0 +1,93 @@
+"""Hash-bucket exchange: the engine's workhorse for high-cardinality
+grouped operations.
+
+Ray Data's ``groupby(cols).aggregate(...)`` sorts fast but then accumulates
+PER ROW in Python, and ``map_groups`` pays one interpreter call PER GROUP —
+both pathological when the key cardinality approaches the row count
+(exact dedup, pair dedup, set diff: millions of single-row groups at scale).
+
+``bucket_groupby`` keeps the exchange but bounds the Python surface:
+
+    rows -> add __bucket = hash(key cols) % num_buckets        (vectorized)
+         -> groupby(__bucket)                                   (ONE shuffle)
+         -> map_groups(fn)  with  #buckets ≪ #keys              (few calls)
+
+``fn`` sees every row of a bucket as one Arrow table and does its grouped
+work with Arrow-native kernels (``Table.group_by``), so the per-key cost is
+C, not Python.  Same-key rows always share a bucket, so any per-key
+reduction computed inside ``fn`` is globally correct.
+
+``num_buckets`` sizes the unit of shuffle parallelism: at 100 TB pick
+buckets ≈ several × cluster cores so each bucket's rows fit a worker heap;
+the hash is uniform, so only aggregate-key skew (not row skew) matters —
+and key skew was already collapsed by the caller's local combiner.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BUCKET_COL = "__bucket"
+_SEP = "\x1f"
+
+
+def _hash_key(batch: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of the key-column tuple."""
+    import pandas as pd
+
+    key = pc.binary_join_element_wise(
+        *[pc.cast(batch[c], pa.string()) for c in key_cols], _SEP
+    )
+    return pd.util.hash_pandas_object(
+        key.to_pandas(), index=False, hash_key="kgray-bucket-key"
+    ).to_numpy()
+
+
+def add_bucket(batch: pa.Table, key_cols: Sequence[str], num_buckets: int) -> pa.Table:
+    h = _hash_key(batch, key_cols) % np.uint64(num_buckets)
+    return batch.append_column(BUCKET_COL, pa.array(h.astype(np.int32)))
+
+
+def bucket_groupby(
+    ds,
+    key_cols: Sequence[str],
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_buckets: int = 64,
+):
+    """Hash-partition ``ds`` by ``key_cols`` and apply vectorized ``fn`` to
+    each bucket (all rows of a bucket in one Arrow table, ``__bucket``
+    already dropped)."""
+    key_cols = list(key_cols)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return add_bucket(batch, key_cols, num_buckets)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns([BUCKET_COL]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def arrow_min_dedup(
+    key_cols: Sequence[str], lineage_cols: Sequence[str]
+) -> Callable[[pa.Table], pa.Table]:
+    """Bucket fn: one row per key, column-wise min over the other columns."""
+    key_cols, lineage_cols = list(key_cols), list(lineage_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(key_cols, use_threads=False)
+            .aggregate([(c, "min") for c in lineage_cols])
+            .rename_columns(key_cols + lineage_cols)
+        )
+
+    return fn
