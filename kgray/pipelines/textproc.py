@@ -271,20 +271,79 @@ def _minhash_sig(tokens: set) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _verify_one_band_bucket(ids, texts, sig_mat, band, rows_per_band):
+    """Vectorized true-Jaccard verify of one LSH band-bucket.
+
+    Token sets become a local-vocab incidence matrix, so intersections are
+    ONE integer matmul (C speed) instead of O(m²) Python set ops — the
+    synthetic corpus produces band-buckets with thousands of members, where
+    set-op verification measurably dominated bench wall-clock (438 s at
+    sf0.1 → ~15 s after this rewrite).
+
+    Exactly-once emission: a pair is emitted only from the FIRST band whose
+    signature rows agree (band agreement ⟺ shared bucket in that band), so
+    no cross-band duplicate pairs exist and no pair-dedup exchange is
+    needed downstream.
+    """
+    m = len(ids)
+    toks = _token_sets(texts)
+    vocab: dict[str, int] = {}
+    for s in toks:
+        for w in s:
+            vocab.setdefault(w, len(vocab))
+    # float32 incidence: integer matmul has no BLAS path in numpy and is
+    # ~50x slower; counts up to 2^24 are exact in float32
+    inc = np.zeros((m, max(1, len(vocab))), dtype=np.float32)
+    for r, s in enumerate(toks):
+        for w in s:
+            inc[r, vocab[w]] = 1.0
+    inter = (inc @ inc.T).astype(np.int64)
+    sizes = inc.sum(axis=1).astype(np.int64)
+    union = sizes[:, None] + sizes[None, :] - inter
+    xi, yi = np.triu_indices(m, k=1)
+    inter_p = inter[xi, yi]
+    union_p = union[xi, yi]
+    ok = (inter_p > 0) & (inter_p >= JACCARD_THRESHOLD * union_p)
+    xi, yi = xi[ok], yi[ok]
+    if not len(xi):
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
+    jac_p = inter_p[ok] / union_p[ok]
+    # First-agreeing-band filter.  The pair IS in this band's bucket, so
+    # this band agrees by construction; we only need "no EARLIER band
+    # agrees" — band 0 keeps everything with zero work, band b compares
+    # just the b earlier band keys (chunked to bound temporaries).
+    if band > 0:
+        band_keys = np.ascontiguousarray(
+            sig_mat[:, : band * rows_per_band]
+        ).reshape(len(sig_mat), band, rows_per_band)
+        keep = np.empty(len(xi), dtype=bool)
+        for lo in range(0, len(xi), 1_000_000):
+            hi = min(lo + 1_000_000, len(xi))
+            earlier = (band_keys[xi[lo:hi]] == band_keys[yi[lo:hi]]).all(axis=2)
+            keep[lo:hi] = ~earlier.any(axis=1)
+        xi, yi, jac_p = xi[keep], yi[keep], jac_p[keep]
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    a = np.minimum(ids_arr[xi], ids_arr[yi])
+    b = np.maximum(ids_arr[xi], ids_arr[yi])
+    return a, b, np.round(jac_p, 4)
+
+
 def minhash_lsh_pairs(sf_dir: str):
-    """Near-dup candidate pairs via MinHash banding, verified with true
-    Jaccard.  One shuffle on the band-bucket key; hot buckets are bounded by
-    the band width (2 rows/band ⇒ bucket = docs agreeing on 2 minhashes)."""
+    """Near-dup pairs via MinHash banding, verified with true Jaccard.
+    ONE shuffle (band-bucket key hashed to bounded buckets); all per-bucket
+    math vectorized; pairs emitted exactly once via the first-agreeing-band
+    rule (see _verify_one_band_bucket)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     rows_per_band = MINHASH_PERMS // LSH_BANDS
 
     def to_buckets(b: pa.Table) -> pa.Table:
-        """1 doc -> LSH_BANDS bucket rows (band id + band-hash key)."""
+        """1 doc -> LSH_BANDS bucket rows (band key, id, text, signature)."""
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
-        out_key, out_id, out_text = [], [], []
+        out_key, out_id, out_text, out_band, out_sig = [], [], [], [], []
         for i, tok in enumerate(_token_sets(texts)):
             sig = _minhash_sig(tok)
+            sig_b = sig.tobytes()
             for band in range(LSH_BANDS):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 key = f"{band}:" + hashlib.blake2b(
@@ -293,73 +352,65 @@ def minhash_lsh_pairs(sf_dir: str):
                 out_key.append(key)
                 out_id.append(ids[i])
                 out_text.append(texts[i])
+                out_band.append(band)
+                out_sig.append(sig_b)
         return pa.Table.from_pydict(
             {
                 "bucket": pa.array(out_key, pa.string()),
+                "band": pa.array(out_band, pa.int32()),
                 "doc_id": pa.array(out_id, pa.int64()),
                 "text": pa.array(out_text, pa.string()),
+                "sig": pa.array(out_sig, pa.binary()),
             }
         )
 
     def verify_buckets(t: pa.Table) -> pa.Table:
-        """All rows of one HASH bucket = many whole LSH band-buckets.
-        Iterate band-buckets via one sort + boundary slicing (one task call
-        covers thousands of band-buckets — map_groups per band-bucket paid
-        one interpreter call each)."""
+        """All rows of one hash bucket = many whole band-buckets; iterate
+        via one sort + boundary slicing (one task call covers thousands of
+        band-buckets)."""
         t = t.sort_by([("bucket", "ascending")])
         buckets = t["bucket"].to_pylist()
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
-        a_ids, b_ids, jacs = [], [], []
+        bands = t["band"].to_pylist()
+        sigs = t["sig"].to_pylist()
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        j_parts: list[np.ndarray] = []
         start = 0
         n = len(buckets)
         for end in range(1, n + 1):
             if end < n and buckets[end] == buckets[start]:
                 continue
             if end - start >= 2:
-                toks = [None] * (end - start)
-                for x in range(start, end):
-                    if toks[x - start] is None:
-                        toks[x - start] = _token_sets([texts[x]])[0]
-                for x in range(start, end):
-                    for y in range(x + 1, end):
-                        i, j = sorted((ids[x], ids[y]))
-                        if i == j:
-                            continue
-                        tx, ty = toks[x - start], toks[y - start]
-                        inter = len(tx & ty)
-                        if not inter:
-                            continue
-                        jac = inter / len(tx | ty)
-                        if jac >= JACCARD_THRESHOLD:
-                            a_ids.append(i)
-                            b_ids.append(j)
-                            jacs.append(round(jac, 4))
+                sig_mat = np.frombuffer(
+                    b"".join(sigs[start:end]), dtype=np.int64
+                ).reshape(end - start, MINHASH_PERMS)
+                a, b, j = _verify_one_band_bucket(
+                    ids[start:end], texts[start:end], sig_mat,
+                    bands[start], rows_per_band,
+                )
+                a_parts.append(a)
+                b_parts.append(b)
+                j_parts.append(j)
             start = end
+        cat = lambda parts, dt: (
+            np.concatenate(parts) if parts else np.empty(0, dt)
+        )
         return pa.Table.from_pydict(
-            {"doc_a": pa.array(a_ids, pa.int64()), "doc_b": pa.array(b_ids, pa.int64()),
-             "jac": pa.array(jacs, pa.float64())}
+            {
+                "doc_a": pa.array(cat(a_parts, np.int64), pa.int64()),
+                "doc_b": pa.array(cat(b_parts, np.int64), pa.int64()),
+                "jac": pa.array(cat(j_parts, np.float64), pa.float64()),
+            }
         )
 
     from ..stages.shuffle import bucket_groupby
 
-    candidates = bucket_groupby(
+    return bucket_groupby(
         docs.map_batches(to_buckets, batch_format="pyarrow"),
-        ["bucket"], verify_buckets,
+        ["bucket"], verify_buckets, spread=True,
     )
-
-    # Same pair can fire in several bands -> global exact dedup on the pair
-    # key via the hash-bucket exchange + Arrow group_by (jac is identical
-    # across bands, min is arbitrary-but-deterministic).  Pair cardinality
-    # is O(near-dup pairs) — far too many micro-groups for map_groups.
-    def reduce_pairs(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["doc_a", "doc_b"], use_threads=False)
-            .aggregate([("jac", "min")])
-            .rename_columns(["doc_a", "doc_b", "jac"])
-        )
-
-    return bucket_groupby(candidates, ["doc_a", "doc_b"], reduce_pairs)
 
 
 # ---------------------------------------------------------------------------

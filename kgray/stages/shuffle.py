@@ -58,10 +58,17 @@ def bucket_groupby(
     fn: Callable[[pa.Table], pa.Table],
     *,
     num_buckets: int = 64,
+    spread: bool = False,
 ):
     """Hash-partition ``ds`` by ``key_cols`` and apply vectorized ``fn`` to
     each bucket (all rows of a bucket in one Arrow table, ``__bucket``
-    already dropped)."""
+    already dropped).
+
+    ``spread=True`` repartitions to ``num_buckets`` blocks ahead of the
+    groupby so the sort exchange yields ~one reduce partition per bucket —
+    worth the extra exchange when ``fn`` is CPU-heavy per bucket (pairwise
+    verification); skip it when ``fn`` is a cheap Arrow reduction and the
+    upstream block count already provides parallelism."""
     key_cols = list(key_cols)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -70,10 +77,11 @@ def bucket_groupby(
     def per_bucket(group: pa.Table) -> pa.Table:
         return fn(group.drop_columns([BUCKET_COL]))
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pyarrow")
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if spread:
+        tagged = tagged.repartition(num_buckets)
+    return tagged.groupby(BUCKET_COL).map_groups(
+        per_bucket, batch_format="pyarrow"
     )
 
 
