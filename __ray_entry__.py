@@ -59,6 +59,46 @@ def _kg_commands(sf_dir: str):
     return serialize_stage(_kg_ops(sf_dir))
 
 
+def _kg_diff(sf_dir: str):
+    """Snapshot-diff over the KG pipeline's own triples: the corpus is
+    split into an 'old' and a 'new' snapshot by page revision parity, and
+    the diff emits INSERT (new-only) / DELETE (old-only) ops — the
+    distributed ttl_compare.diff_ttls analog (SURVEY.md §2.4/§2.7)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.stages.diff import diff_snapshots
+
+    ops = _kg_ops(sf_dir).materialize()  # one pipeline run feeds both sides
+
+    def to_snapshot(b: pa.Table) -> pa.Table:
+        ent = pc.replace_substring_regex(
+            b["src_url"], pattern=r"^.*/wiki/(Q\d+)\?.*$", replacement=r"\1"
+        )
+        rev = pc.cast(
+            pc.replace_substring_regex(
+                b["src_url"], pattern=r"^.*rev=(\d+)$", replacement=r"\1"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "entity": ent,
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "lang": b["lang"],
+                "datatype": b["datatype"],
+                "rev_parity": pc.bit_wise_and(rev, 1),
+            }
+        )
+
+    snap = ops.map_batches(to_snapshot, batch_format="pyarrow")
+    old = snap.filter(expr="rev_parity == 0").drop_columns(["rev_parity"])
+    new = snap.filter(expr="rev_parity == 1").drop_columns(["rev_parity"])
+    return diff_snapshots(old, new)
+
+
 def _media_features(sf_dir: str):
     from kgray.pipelines.multimodal import media_features
 
@@ -105,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     in tests — not SQL-expressible) ---
         "kg_triples": _kg_ops,
         "kg_commands": _kg_commands,
+        "kg_diff": _kg_diff,
     }
 
 

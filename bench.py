@@ -35,17 +35,18 @@ HEADLINE = [
 
 
 def _consume(res) -> int:
-    """Drive a lazy result to completion without materializing it on the
-    driver; returns the row count."""
+    """Drive a lazy result to completion; returns the row count.
+
+    Uses ``materialize()`` + metadata count — iterating batches on the
+    driver serializes the consume path, and ``count()`` on a lazy multi-map
+    pipeline measurably adds a serial consumption phase (~37 s at 160k
+    pages); materialize executes the streaming DAG at full width."""
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        n = 0
-        for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            n += len(b)
-        return n
+        return res.materialize().count()
     if isinstance(res, (pa.Table, pd.DataFrame)):
         return len(res)
     return 0
@@ -98,18 +99,34 @@ def main() -> None:
     ray.shutdown()
 
 
+SCALING_PAGES = int(os.environ.get("KGRAY_SCALING_PAGES", "160000"))
+
+
+def _scaling_corpus() -> list[str]:
+    """Dedicated larger corpus for the scaling criterion: at sf0.1 size the
+    run is dominated by fixed windows (read-task scheduling, shuffle
+    barriers) that measure overhead, not scaling.  Generated once by Ray
+    tasks, cached in /tmp; generation is excluded from timing (shared input
+    for both levels)."""
+    from kgray.fixtures import write_pages_corpus
+
+    out = os.path.join("/tmp/kgray_corpus", f"scaling-{SCALING_PAGES}")
+    return write_pages_corpus(out, SCALING_PAGES, shard_rows=SCALING_PAGES // 64)
+
+
 def _single(num_cpus: int) -> None:
     """One fresh-process flagship run (invoked by --scaling)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _init_ray(num_cpus)
-    import __ray_entry__ as e
+    paths = _scaling_corpus()  # cached after first call; excluded from timing
+    from kgray.pipelines.kg import kg_triples, read_pages
 
-    # corpus generation excluded from timing (shared input, written once)
-    e.pages_paths_for(SF_DIR)
     t0 = time.perf_counter()
-    n = _consume(e.queries()["kg_triples"](SF_DIR))
+    ds = kg_triples(read_pages(paths))
+    n = _consume(ds)
     sec = time.perf_counter() - t0
-    print(json.dumps({"num_cpus": num_cpus, "sec": round(sec, 3), "rows": n}))
+    print(json.dumps({"num_cpus": num_cpus, "sec": round(sec, 3), "rows": n,
+                      "docs": SCALING_PAGES}))
     import ray
 
     ray.shutdown()

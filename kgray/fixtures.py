@@ -286,18 +286,52 @@ def properties_table() -> pa.Table:
     )
 
 
-def write_pages_corpus(out_dir: str, n: int, seed: int = SEED, shard_rows: int = 5000) -> list[str]:
+def write_pages_corpus(out_dir: str, n: int, seed: int = SEED, shard_rows: int = 5000,
+                       parallel: bool | None = None) -> list[str]:
     """Write the corpus as sharded parquet (one file per row-range) so reads
-    parallelize and a rerun can regenerate any shard independently."""
+    parallelize and a rerun can regenerate any shard independently.
+
+    When Ray is initialised (or ``parallel=True``), missing shards are
+    generated by Ray tasks — ``gen_page`` is a pure function of
+    ``(index, seed)``, so each shard is an independent unit of work.
+    """
     import os
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    todo: list[tuple[int, int, str]] = []
+    paths: list[str] = []
     for start in range(0, n, shard_rows):
         cnt = min(shard_rows, n - start)
         path = os.path.join(out_dir, f"pages-{start:08d}.parquet")
         if not os.path.exists(path):  # resume: skip finished shards
-            pq.write_table(gen_pages_table(cnt, seed, start=start), path)
+            todo.append((start, cnt, path))
         paths.append(path)
+    if not todo:
+        return paths
+
+    if parallel is None:
+        try:
+            import ray
+
+            parallel = ray.is_initialized() and len(todo) > 1
+        except Exception:
+            parallel = False
+
+    if parallel:
+        import ray
+
+        @ray.remote
+        def _write(start: int, cnt: int, path: str) -> None:
+            table = gen_pages_table(cnt, seed, start=start)
+            tmp = path + ".tmp"
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)  # atomic: partial shards never count as done
+
+        ray.get([_write.remote(s, c, p) for s, c, p in todo])
+    else:
+        for start, cnt, path in todo:
+            tmp = path + ".tmp"
+            pq.write_table(gen_pages_table(cnt, seed, start=start), tmp)
+            os.replace(tmp, path)
     return paths

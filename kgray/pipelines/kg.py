@@ -25,11 +25,26 @@ def read_pages(paths, *, columns=("url", "warc_ts", "html", "text", "lang")):
     return rd.read_parquet(paths, columns=list(columns))
 
 
+def _auto_concurrency() -> tuple[int, int]:
+    """Size the linker pool to the cluster: eager floor of half the cores
+    (actor startup overlaps the read instead of lagging behind the queue),
+    ceiling of all cores.  Falls back to (1, 8) when Ray isn't up yet."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return (max(1, cpus // 2), max(2, cpus))
+
+
 def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
-               link_concurrency=(1, 4)):
+               link_concurrency=None):
     """pages Dataset -> canonical deduped ops Dataset (lazy)."""
     if alias_rows is None:
         alias_rows = aliases_table().to_pylist()
+    if link_concurrency is None:
+        link_concurrency = _auto_concurrency()
     raw = extract_stage(pages, verify_text=verify_text)
     linked = link_stage(raw, alias_rows, concurrency=link_concurrency)
     ops = assemble_stage(linked)
@@ -37,7 +52,7 @@ def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
 
 
 def run_kg_pipeline(paths, out_dir: str | None = None, *, alias_rows=None,
-                    verify_text: bool = True, link_concurrency=(1, 4)):
+                    verify_text: bool = True, link_concurrency=None):
     """Full run: read -> ... -> canonicalize [-> sort+write+manifest].
 
     Returns the ops Dataset when ``out_dir`` is None (for tests / further

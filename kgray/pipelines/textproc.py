@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 # thresholds shared with the SQL oracles in __ray_entry__
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.8
 STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
 
 # stopword profiles for the language-ID heuristic; order is the tie-break
@@ -297,30 +297,41 @@ def _verify_one_band_bucket(ids, texts, sig_mat, band, rows_per_band):
     for r, s in enumerate(toks):
         for w in s:
             inc[r, vocab[w]] = 1.0
-    inter = (inc @ inc.T).astype(np.int64)
-    sizes = inc.sum(axis=1).astype(np.int64)
-    union = sizes[:, None] + sizes[None, :] - inter
-    xi, yi = np.triu_indices(m, k=1)
-    inter_p = inter[xi, yi]
-    union_p = union[xi, yi]
-    ok = (inter_p > 0) & (inter_p >= JACCARD_THRESHOLD * union_p)
-    xi, yi = xi[ok], yi[ok]
-    if not len(xi):
+    inter = (inc @ inc.T).astype(np.int32)
+    sizes = inc.sum(axis=1).astype(np.int32)
+    # chunked upper-triangle pair discovery: peak temporaries are
+    # (chunk x m), never (pairs x perms) — many buckets verify
+    # concurrently, so per-task memory discipline IS throughput here
+    col = np.arange(m, dtype=np.int32)
+    xi_parts, yi_parts, jac_parts = [], [], []
+    for i0 in range(0, m, 512):
+        i1 = min(i0 + 512, m)
+        sub = inter[i0:i1]
+        uni = sizes[i0:i1, None] + sizes[None, :] - sub
+        okm = (sub > 0) & (sub >= JACCARD_THRESHOLD * uni)
+        okm &= col[None, :] > np.arange(i0, i1, dtype=np.int32)[:, None]
+        ci, cj = np.nonzero(okm)
+        if len(ci):
+            xi_parts.append((ci + i0).astype(np.int64))
+            yi_parts.append(cj.astype(np.int64))
+            jac_parts.append(sub[ci, cj] / uni[ci, cj])
+    if not xi_parts:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
-    jac_p = inter_p[ok] / union_p[ok]
+    xi = np.concatenate(xi_parts)
+    yi = np.concatenate(yi_parts)
+    jac_p = np.concatenate(jac_parts)
     # First-agreeing-band filter.  The pair IS in this band's bucket, so
     # this band agrees by construction; we only need "no EARLIER band
-    # agrees" — band 0 keeps everything with zero work, band b compares
-    # just the b earlier band keys (chunked to bound temporaries).
+    # agrees" — band 0 keeps everything with zero work, band b walks the
+    # earlier signature columns one at a time (flat gathers, no
+    # (pairs x band x rows) temporaries).
     if band > 0:
-        band_keys = np.ascontiguousarray(
-            sig_mat[:, : band * rows_per_band]
-        ).reshape(len(sig_mat), band, rows_per_band)
-        keep = np.empty(len(xi), dtype=bool)
-        for lo in range(0, len(xi), 1_000_000):
-            hi = min(lo + 1_000_000, len(xi))
-            earlier = (band_keys[xi[lo:hi]] == band_keys[yi[lo:hi]]).all(axis=2)
-            keep[lo:hi] = ~earlier.any(axis=1)
+        keep = np.ones(len(xi), dtype=bool)
+        for k in range(band):
+            agree = sig_mat[xi, k * rows_per_band] == sig_mat[yi, k * rows_per_band]
+            for c in range(k * rows_per_band + 1, (k + 1) * rows_per_band):
+                agree &= sig_mat[xi, c] == sig_mat[yi, c]
+            keep &= ~agree
         xi, yi, jac_p = xi[keep], yi[keep], jac_p[keep]
     ids_arr = np.asarray(ids, dtype=np.int64)
     a = np.minimum(ids_arr[xi], ids_arr[yi])

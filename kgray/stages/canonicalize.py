@@ -4,47 +4,78 @@
 The reference gets set semantics for free from ``rdflib.Graph`` on a single
 machine (ttl_compare.py:168-183).  At scale that is a distributed distinct:
 
-  1. **local pre-dedup** inside ``map_batches`` (``pyarrow.Table.group_by``
-     on the full triple key per batch) — the combiner that cuts shuffle
-     volume before any exchange, per SURVEY.md §4;
+  1. **local pre-dedup** inside ``map_batches`` — the combiner that cuts
+     shuffle volume before any exchange, per SURVEY.md §4;
   2. **global dedup** via the hash-bucket exchange (stages/shuffle.py): ONE
-     shuffle keyed on a bounded bucket id, then Arrow-native ``group_by``
-     min-aggregation inside each bucket.  Neither ``map_groups(first)`` (one
-     interpreter call per unique triple) nor ``groupby(...).aggregate(Min)``
-     (per-ROW Python accumulation in Ray's aggregate path) — both measured
-     pathological at sf0.1 (77 s / 36 s vs ~3 s for this shape).
+     shuffle keyed on a bounded bucket id, then a vectorized first-per-key
+     pass inside each bucket.
+
+Physical design notes (each alternative was measured and rejected):
+  * ``groupby(keys).aggregate(Min)`` — per-ROW Python accumulation in Ray's
+    aggregate path (36-77 s at sf0.1);
+  * ``map_groups(first)`` — one interpreter call per unique triple;
+  * Arrow ``group_by`` over the 7 raw key columns — multi-column string
+    hashing per bucket cost ~197 s remote at 160k pages.
+  The shipped shape concatenates the key ONCE into a single binary column,
+  then per bucket does sort(key, lineage) + boundary-mask filter — all
+  Arrow/numpy kernels, ~tens of ms per bucket.
 
 The dedup identity is the full canonical triple ``(op, subj, pred, obj,
-lang, datatype)`` plus the functionally-dependent ``obj_type``;
-``src_url`` / ``warc_ts`` are lineage, not identity, and the surviving
-lineage is the column-wise minimum over the duplicate set — deterministic
-across reruns and partitionings, which is what checkpoint-resume and the
-P/R comparison need.  Because the key is the whole content, group sizes are
-bounded by the duplicate count per triple — head-entity skew (SURVEY.md §4)
-inflates the number of *duplicates* of a few triples, which the local
-combiner collapses before the shuffle, so no salting is needed here
-(salting applies to per-entity aggregations, e.g. relational.salted_groupby).
+lang, datatype, obj_type)``; ``src_url``/``warc_ts`` are lineage, not
+identity, and the survivor is the lexicographically (warc_ts, src_url)-
+smallest ROW per key — deterministic across reruns and partitionings,
+which is what checkpoint-resume and the P/R comparison need.  Head-entity
+skew inflates duplicate counts of a few triples; the local combiner
+collapses those before the exchange, so no salting is needed here (salting
+applies to per-entity aggregations, e.g. relational.salted_groupby).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .shuffle import arrow_min_dedup, bucket_groupby
+from .shuffle import bucket_groupby
 
 KEY_COLS = ("op", "subj", "pred", "obj", "lang", "datatype", "obj_type")
 LINEAGE_COLS = ("warc_ts", "src_url")
+_KEY = "__triple_key"
+_SEP = "\x1f"
+
+
+def _with_key(batch: pa.Table) -> pa.Table:
+    key = pc.binary_join_element_wise(*[batch[c] for c in KEY_COLS], _SEP)
+    return batch.append_column(_KEY, key)
+
+
+def _first_per_key(t: pa.Table) -> pa.Table:
+    """Keep the (warc_ts, src_url)-min row per key.  sort + dictionary-encode
+    + boundary mask: single-column kernels only."""
+    if len(t) == 0:
+        return t
+    t = t.sort_by(
+        [(_KEY, "ascending"), ("warc_ts", "ascending"), ("src_url", "ascending")]
+    )
+    codes = pc.dictionary_encode(t[_KEY].combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+    mask = np.empty(len(codes), dtype=bool)
+    mask[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=mask[1:])
+    return t.filter(pa.array(mask))
 
 
 def local_dedup(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: one row per triple key, column-min lineage."""
-    return arrow_min_dedup(KEY_COLS, LINEAGE_COLS)(batch)
+    """Per-batch combiner: one (min-lineage) row per triple key."""
+    return _first_per_key(_with_key(batch))
 
 
 def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 64):
     """ops Dataset -> deduped ops Dataset (set semantics over triples)."""
     pre = ops.map_batches(local_dedup, batch_format="pyarrow", batch_size=batch_size)
-    return bucket_groupby(
-        pre, KEY_COLS, arrow_min_dedup(KEY_COLS, LINEAGE_COLS),
-        num_buckets=num_buckets,
-    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _first_per_key(t).drop_columns([_KEY])
+
+    return bucket_groupby(pre, [_KEY], fn, num_buckets=num_buckets)

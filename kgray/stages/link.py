@@ -66,8 +66,8 @@ class LinkerActor:
         return pa.concat_tables([passthrough.cast(OUT_SCHEMA), linked])
 
 
-def link_stage(raw_claims, alias_rows: list[dict], *, concurrency=(1, 4),
-               batch_size: int = 4096, num_cpus: float = 1):
+def link_stage(raw_claims, alias_rows: list[dict], *, concurrency=(1, 8),
+               batch_size: int = 512, num_cpus: float = 1):
     """raw-claims Dataset -> raw-claims Dataset with mentions resolved.
 
     ``alias_rows`` is broadcast once via ``ray.put``; actors fetch it in
