@@ -172,7 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "groupby_sum": f"""
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_c,
                    CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
                        AS sum_disc_price_e4,
                    count(*) AS count_order
@@ -184,7 +184,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT {TOPK_N}
         """,
         "broadcast_join_agg": """
-            SELECT r_name, count(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(ROUND(SUM(c_acctbal) * 100, 0) AS BIGINT) AS sum_acctbal_c
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -192,7 +193,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_join_agg": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+                   CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS sum_totalprice_c
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,

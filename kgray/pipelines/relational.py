@@ -54,6 +54,15 @@ def _round2(batch: pa.Table, cols) -> pa.Table:
     return batch
 
 
+def _to_int_units(batch: pa.Table, col: str, scale: float) -> pa.Table:
+    """Money-sum columns become exact integers (cents): at sums ≥ ~1e8 a
+    double's ulp reaches 1e-7 and PyArrow's and DuckDB's ROUND(x, 2) land
+    on neighboring doubles — integer emission sidesteps the whole class."""
+    i = batch.column_names.index(col)
+    v = pc.cast(pc.round(pc.multiply(batch[col], scale), 0), pa.int64())
+    return batch.set_column(i, col, v)
+
+
 # ---------------------------------------------------------------------------
 # M1 — vectorized regex filter (reference: Q\d+ title filter,
 # sparql_updates.py:442; pattern matching via pc kernels, no Python rows)
@@ -143,14 +152,15 @@ def groupby_sum(sf_dir: str):
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty", alias_name="sum_qty"),
-            Sum("base", alias_name="sum_base_price"),
+            Sum("base", alias_name="sum_base_price_c"),
             Sum("disc", alias_name="sum_disc_price_e4"),
             Sum("cnt", alias_name="count_order"),
         )
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        b = _round2(b, ["sum_qty", "sum_base_price"])
+        b = _round2(b, ["sum_qty"])
+        b = _to_int_units(b, "sum_base_price_c", 100.0)
         # disc_price terms carry exactly 4 decimal digits, so the rounded-2
         # sum sits exactly on .005 midpoints and float noise would decide the
         # direction differently per engine — emit exact integer 1e-4 units.
@@ -202,9 +212,9 @@ def broadcast_join_agg(sf_dir: str):
     )
     out = enriched.groupby("r_name").aggregate(
         Count(alias_name="n_customers"),
-        Sum("c_acctbal", alias_name="sum_acctbal"),
+        Sum("c_acctbal", alias_name="sum_acctbal_c"),
     )
-    return out.map_batches(lambda b: _round2(b, ["sum_acctbal"]), batch_format="pyarrow")
+    return out.map_batches(lambda b: _to_int_units(b, "sum_acctbal_c", 100.0), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -222,9 +232,9 @@ def hash_join_agg(sf_dir: str):
     )
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="sum_totalprice"),
+        Sum("o_totalprice", alias_name="sum_totalprice_c"),
     )
-    return out.map_batches(lambda b: _round2(b, ["sum_totalprice"]), batch_format="pyarrow")
+    return out.map_batches(lambda b: _to_int_units(b, "sum_totalprice_c", 100.0), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
