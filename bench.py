@@ -99,7 +99,11 @@ def main() -> None:
     ray.shutdown()
 
 
-SCALING_PAGES = int(os.environ.get("KGRAY_SCALING_PAGES", "160000"))
+SCALING_PAGES = int(os.environ.get("KGRAY_SCALING_PAGES", "40000"))
+# realistic Common-Crawl page weight (~26 KB html vs the 3 KB unit fixture):
+# per-page compute must dominate fixed session windows for the efficiency
+# number to measure scaling rather than overhead
+SCALING_RICHNESS = int(os.environ.get("KGRAY_SCALING_RICHNESS", "16"))
 
 
 def _scaling_corpus() -> list[str]:
@@ -110,8 +114,11 @@ def _scaling_corpus() -> list[str]:
     for both levels)."""
     from kgray.fixtures import write_pages_corpus
 
-    out = os.path.join("/tmp/kgray_corpus", f"scaling-{SCALING_PAGES}")
-    return write_pages_corpus(out, SCALING_PAGES, shard_rows=SCALING_PAGES // 64)
+    out = os.path.join(
+        "/tmp/kgray_corpus", f"scaling-{SCALING_PAGES}-r{SCALING_RICHNESS}")
+    return write_pages_corpus(out, SCALING_PAGES,
+                              shard_rows=SCALING_PAGES // 64,
+                              richness=SCALING_RICHNESS)
 
 
 def _single(num_cpus: int) -> None:

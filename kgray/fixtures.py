@@ -217,8 +217,15 @@ def _diff_table_html(rng: random.Random) -> str:
     return "".join(rows)
 
 
-def gen_page(i: int, seed: int = SEED) -> dict:
-    """Pure function of (index, seed) -> one pages row."""
+def gen_page(i: int, seed: int = SEED, richness: int = 1) -> dict:
+    """Pure function of (index, seed) -> one pages row.
+
+    ``richness`` scales page size toward realistic Common-Crawl documents
+    (the default fixture page is ~3 KB; real pages run 10-100 KB): each
+    extra unit appends another claims block + body paragraph.  Extra draws
+    happen strictly AFTER the base draws, so ``richness=1`` output is
+    byte-identical to the historical corpus.
+    """
     rng = random.Random((seed << 32) ^ i)
     qid = _pick_entity(rng)
     ent = ENTITIES[qid]
@@ -252,6 +259,12 @@ def gen_page(i: int, seed: int = SEED) -> dict:
     html_parts.append(_body_text_html(rng))
     if rng.random() < 0.6:
         html_parts.append(_diff_table_html(rng))
+    for _ in range(max(0, richness - 1)):
+        html_parts.append('<div class="claims">')
+        for _ in range(rng.randint(3, 6)):
+            html_parts.append(_claim_html(rng, qid))
+        html_parts.append("</div>")
+        html_parts.append(_body_text_html(rng))
     html_parts.append("</body></html>")
     html = "".join(html_parts)
 
@@ -264,8 +277,9 @@ def gen_page(i: int, seed: int = SEED) -> dict:
     }
 
 
-def gen_pages_table(n: int, seed: int = SEED, start: int = 0) -> pa.Table:
-    rows = [gen_page(i, seed) for i in range(start, start + n)]
+def gen_pages_table(n: int, seed: int = SEED, start: int = 0,
+                    richness: int = 1) -> pa.Table:
+    rows = [gen_page(i, seed, richness) for i in range(start, start + n)]
     return pa.Table.from_pylist(rows, schema=_schema.PAGES)
 
 
@@ -287,7 +301,7 @@ def properties_table() -> pa.Table:
 
 
 def write_pages_corpus(out_dir: str, n: int, seed: int = SEED, shard_rows: int = 5000,
-                       parallel: bool | None = None) -> list[str]:
+                       parallel: bool | None = None, richness: int = 1) -> list[str]:
     """Write the corpus as sharded parquet (one file per row-range) so reads
     parallelize and a rerun can regenerate any shard independently.
 
@@ -323,7 +337,7 @@ def write_pages_corpus(out_dir: str, n: int, seed: int = SEED, shard_rows: int =
 
         @ray.remote
         def _write(start: int, cnt: int, path: str) -> None:
-            table = gen_pages_table(cnt, seed, start=start)
+            table = gen_pages_table(cnt, seed, start=start, richness=richness)
             tmp = path + ".tmp"
             pq.write_table(table, tmp)
             os.replace(tmp, path)  # atomic: partial shards never count as done
@@ -332,6 +346,6 @@ def write_pages_corpus(out_dir: str, n: int, seed: int = SEED, shard_rows: int =
     else:
         for start, cnt, path in todo:
             tmp = path + ".tmp"
-            pq.write_table(gen_pages_table(cnt, seed, start=start), tmp)
+            pq.write_table(gen_pages_table(cnt, seed, start=start, richness=richness), tmp)
             os.replace(tmp, path)
     return paths
