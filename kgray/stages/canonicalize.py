@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .shuffle import bucket_groupby
+
 
 KEY_COLS = ("op", "subj", "pred", "obj", "lang", "datatype", "obj_type")
 LINEAGE_COLS = ("warc_ts", "src_url")
@@ -68,14 +68,27 @@ def _first_per_key(t: pa.Table) -> pa.Table:
 
 def local_dedup(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: one (min-lineage) row per triple key."""
-    return _first_per_key(_with_key(batch))
+    return _first_per_key(_with_key(batch)).drop_columns([_KEY])
 
 
 def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 64):
-    """ops Dataset -> deduped ops Dataset (set semantics over triples)."""
-    pre = ops.map_batches(local_dedup, batch_format="pyarrow", batch_size=batch_size)
+    """ops Dataset -> deduped ops Dataset (set semantics over triples).
 
-    def fn(t: pa.Table) -> pa.Table:
-        return _first_per_key(t).drop_columns([_KEY])
+    The ~250-byte composite key is NEVER shipped through the exchange: the
+    combiner derives it, dedups, converts it to a 4-byte bucket id and drops
+    it; the per-bucket pass re-derives it locally.  At 20M+ rows the key
+    column would otherwise dominate shuffle bytes (measured: the exchange was
+    ~60% of pipeline compute on the 40k x 26KB corpus before this)."""
+    from .shuffle import BUCKET_COL, add_bucket
 
-    return bucket_groupby(pre, [_KEY], fn, num_buckets=num_buckets)
+    def combine(batch: pa.Table) -> pa.Table:
+        batch = _first_per_key(_with_key(batch))
+        batch = add_bucket(batch, [_KEY], num_buckets)
+        return batch.drop_columns([_KEY])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([BUCKET_COL])
+        return _first_per_key(_with_key(group)).drop_columns([_KEY])
+
+    pre = ops.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+    return pre.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

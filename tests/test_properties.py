@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the pure kernel layer.
+
+SURVEY.md §5 notes the reference has no property tests; the engine adds
+them where invariants are crisp: the HTML→text extractor must be total and
+deterministic on arbitrary input, dedup/canonicalize invariants must hold
+on arbitrary row multisets, and id minting must be injective-in-practice
+and stable.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgray.kernels.htmltext import extract_text
+from kgray.kernels.ids import statement_id, time_node_id
+from kgray.stages.canonicalize import KEY_COLS, LINEAGE_COLS, local_dedup
+
+# text that may contain markup fragments, entities, broken tags
+_html_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_html_text)
+def test_extract_text_total_and_deterministic(s):
+    """Never raises on arbitrary (possibly broken) HTML; stable; output has
+    no blank lines and no leading/trailing whitespace per line."""
+    out1 = extract_text(s)
+    out2 = extract_text(s)
+    assert out1 == out2
+    for line in out1.splitlines():
+        assert line == line.strip()
+        assert line != ""
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["INSERT", "DELETE"]),
+            st.text(min_size=1, max_size=8),
+            st.text(min_size=1, max_size=8),
+            st.text(max_size=8),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_local_dedup_idempotent_and_exact(rows):
+    """Combiner invariants on arbitrary row multisets: output keys are the
+    distinct input keys; applying it twice changes nothing; survivor lineage
+    is the minimum."""
+    import datetime as dt
+
+    table = pa.Table.from_pydict(
+        {
+            "op": [r[0] for r in rows],
+            "subj": [r[1] for r in rows],
+            "pred": [r[2] for r in rows],
+            "obj": [r[3] for r in rows],
+            "lang": [""] * len(rows),
+            "datatype": [""] * len(rows),
+            "obj_type": ["literal"] * len(rows),
+            "warc_ts": pa.array(
+                [dt.datetime(2024, 1, 1, 0, 0, i % 60) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "src_url": [f"u{i % 7}" for i in range(len(rows))],
+        }
+    )
+    out = local_dedup(table)
+    keys_in = {tuple(r[c][i].as_py() for c in KEY_COLS)
+               for r in [table] for i in range(len(table))}
+    keys_out = [tuple(out[c][i].as_py() for c in KEY_COLS) for i in range(len(out))]
+    assert len(keys_out) == len(set(keys_out)) == len(keys_in)
+    assert set(keys_out) == keys_in
+    again = local_dedup(out)
+    assert again.sort_by([(c, "ascending") for c in KEY_COLS]).equals(
+        out.sort_by([(c, "ascending") for c in KEY_COLS])
+    )
+    # survivor lineage is the per-key minimum (warc_ts, src_url)
+    by_key: dict[tuple, tuple] = {}
+    for i in range(len(table)):
+        k = tuple(table[c][i].as_py() for c in KEY_COLS)
+        lin = tuple(table[c][i].as_py() for c in LINEAGE_COLS)
+        by_key[k] = min(by_key.get(k, lin), lin)
+    for i in range(len(out)):
+        k = tuple(out[c][i].as_py() for c in KEY_COLS)
+        assert tuple(out[c][i].as_py() for c in LINEAGE_COLS) == by_key[k]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=1, max_size=20), st.text(min_size=1, max_size=10),
+       st.text(max_size=20))
+def test_ids_stable_and_shaped(ent, prop, value):
+    a = statement_id(ent, prop, value)
+    assert a == statement_id(ent, prop, value)
+    assert a.startswith(f"{ent}-")
+    t = time_node_id("2020-01-01T00:00:00Z", 11, 0, "wd:Q1985727")
+    assert len(t) == 40 and t == time_node_id("2020-01-01T00:00:00Z", 11, 0, "wd:Q1985727")
