@@ -139,6 +139,33 @@ def _single(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def _spin_throughput(nprocs: int, seconds: float = 2.0) -> float:
+    """Pure-CPU control: total spin iterations/s across nprocs processes.
+    Measures the BOX's parallel ceiling at this moment — on this shared
+    sandbox even perfectly-parallel work tops out below 1.0 efficiency and
+    total capacity swings ~2x between runs, so the control contextualizes
+    the pipeline number."""
+    import multiprocessing as mp
+
+    def spin(q):
+        import time as _t
+
+        t0 = _t.perf_counter()
+        x = 0
+        while _t.perf_counter() - t0 < seconds:
+            x += 1
+        q.put(x)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q,)) for _ in range(nprocs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
+
+
 def scaling() -> None:
     lo, hi = max(1, NUM_CPUS // 4), NUM_CPUS
     results = {}
@@ -151,15 +178,21 @@ def scaling() -> None:
         results[n] = json.loads(line)
     thr = {n: results[n]["rows"] / results[n]["sec"] for n in results}
     eff = (thr[hi] / thr[lo]) / (hi / lo)
+    spin = {n: _spin_throughput(n) for n in (lo, hi)}
+    spin_eff = (spin[hi] / spin[lo]) / (hi / lo)
     print(json.dumps({
         "metric": "kg pipeline scaling efficiency (fresh processes, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {f"cpus_{n}": round(results[n]["sec"], 3) for n in results},
         "throughput_rows_per_sec": {str(n): round(thr[n], 1) for n in results},
+        "cpu_spin_ceiling_efficiency": round(spin_eff, 3),
+        "normalized_efficiency": round(min(1.0, eff / spin_eff), 3) if spin_eff else None,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "note": "single physical node; parallelism levels emulate N vs 4N cluster sizes",
+        "note": ("single shared node; parallelism levels emulate N vs 4N cluster "
+                 "sizes; spin ceiling = what perfectly-parallel pure-CPU work "
+                 "achieves on this box at the same moment"),
     }))
 
 
