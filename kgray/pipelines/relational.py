@@ -308,8 +308,17 @@ def salted_groupby(sf_dir: str, *, salt_buckets: int = 8):
 
     def salt_partial(b: pa.Table) -> pa.Table:
         """Phase 1: salt the key, then a local combiner per (key, salt).
-        Hot keys split across ``salt_buckets`` reducers instead of one."""
-        salt = pc.cast(pc.bit_wise_and(b["user_id"], salt_buckets - 1), pa.int32())
+        Hot keys split across ``salt_buckets`` reducers instead of one.
+
+        The salt must be ROW-dependent, not key-derived: a key-derived salt
+        sends every row of a hot key to the same reducer and the mitigation
+        is a no-op.  Row position within the batch spreads a hot key evenly
+        across all ``salt_buckets`` reducers and needs no extra column."""
+        import numpy as np
+
+        salt = pa.array(
+            (np.arange(len(b), dtype=np.int64) % salt_buckets).astype("int32")
+        )
         t = pa.Table.from_pydict(
             {
                 "user_id": b["user_id"],

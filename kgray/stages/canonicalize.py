@@ -45,7 +45,17 @@ _SEP = "\x1f"
 
 
 def _with_key(batch: pa.Table) -> pa.Table:
-    key = pc.binary_join_element_wise(*[batch[c] for c in KEY_COLS], _SEP)
+    """Concatenated dedup key with LENGTH-PREFIXED components: ``obj`` comes
+    from extracted page text and could itself contain the separator byte,
+    which would let two distinct triples alias into one key.  Prefixing each
+    component with its length makes the encoding injective regardless of
+    content (still one vectorized join, no hashing)."""
+    parts: list = []
+    for c in KEY_COLS:
+        col = batch[c]
+        parts.append(pc.cast(pc.binary_length(col), pa.string()))
+        parts.append(col)
+    key = pc.binary_join_element_wise(*parts, _SEP)
     return batch.append_column(_KEY, key)
 
 

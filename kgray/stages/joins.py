@@ -46,24 +46,29 @@ def broadcast_join(facts, dim, *, on: str, right_on: str | None = None,
     dim_ref = ray.put(_materialize_small(dim, [right_on, *dim_cols]))
 
     class Probe:
+        """Per-actor state: the dim table as Arrow (no Python dict).  The
+        probe is fully vectorized — ``pc.index_in`` for the gather index,
+        ``pc.is_valid`` for the inner-join mask, ``pc.take`` for the column
+        gather.  ``take`` with null indices yields typed nulls, so an
+        all-miss / zero-row batch keeps the dim columns' declared types and
+        every block has an identical schema."""
+
         def __init__(self):
-            table: pa.Table = ray.get(dim_ref)
-            keys = table[right_on].to_pylist()
-            vals = {c: table[c].to_pylist() for c in dim_cols}
-            self.index = {
-                k: tuple(vals[c][i] for c in dim_cols) for i, k in enumerate(keys)
-            }
+            import pyarrow.compute as pc  # noqa: F401 (bind per-actor)
+
+            self.dim: pa.Table = ray.get(dim_ref).combine_chunks()
+            self.key_col = self.dim[right_on]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[on].to_pylist()
+            import pyarrow.compute as pc
+
+            idx = pc.index_in(batch[on], value_set=self.key_col)
             if how == "inner":
-                mask = [k in self.index for k in keys]
-                batch = batch.filter(pa.array(mask, pa.bool_()))
-                keys = [k for k, m in zip(keys, mask) if m]
-            miss = (None,) * len(dim_cols)
-            rows = [self.index.get(k, miss) for k in keys]
-            for j, c in enumerate(dim_cols):
-                batch = batch.append_column(c, pa.array([r[j] for r in rows]))
+                valid = pc.is_valid(idx)
+                batch = batch.filter(valid)
+                idx = idx.filter(valid)
+            for c in dim_cols:
+                batch = batch.append_column(c, pc.take(self.dim[c], idx))
             return batch
 
     return facts.map_batches(Probe, batch_format="pyarrow",

@@ -18,6 +18,11 @@ import time
 import pyarrow.parquet as pq
 
 
+# above this many rows the exact distinct-doc set (which can approach the
+# row count) stays off the driver; per-file distinct counts are used instead
+_EXACT_DISTINCT_ROW_CAP = 5_000_000
+
+
 def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
 
@@ -71,15 +76,29 @@ def materialize_stage(
         and doc_col in pq.read_schema(os.path.join(out_dir, files[0])).names
     ):
         # per-partition lineage metrics (north rule): docs/sec, triples/doc.
-        # Reads ONLY the doc column of this partition's own files.
-        docs: set = set()
-        for p in files:
-            t = pq.read_table(os.path.join(out_dir, p), columns=[doc_col])
-            docs.update(t[doc_col].to_pylist())
-        n_docs = len(docs)
+        # Reads ONLY the doc column of this partition's own files.  The
+        # exact cross-file distinct set is bounded: above the row cap the
+        # metric degrades to the sum of per-file distinct counts (an upper
+        # bound, flagged ``docs_exact: false``) so the driver-side set never
+        # grows with partition size.
+        exact = rows <= _EXACT_DISTINCT_ROW_CAP
+        if exact:
+            docs: set = set()
+            for p in files:
+                t = pq.read_table(os.path.join(out_dir, p), columns=[doc_col])
+                docs.update(t[doc_col].to_pylist())
+            n_docs = len(docs)
+        else:
+            import pyarrow.compute as _pc
+
+            n_docs = 0
+            for p in files:
+                t = pq.read_table(os.path.join(out_dir, p), columns=[doc_col])
+                n_docs += len(_pc.unique(t[doc_col]))
         metrics.update(
             {
                 "docs": n_docs,
+                "docs_exact": exact,
                 "docs_per_sec": round(n_docs / elapsed, 2) if elapsed > 0 else None,
                 "rows_per_sec": round(rows / elapsed, 2) if elapsed > 0 else None,
                 "rows_per_doc": round(rows / n_docs, 2) if n_docs else None,
