@@ -47,10 +47,40 @@ def entry() -> Any:
     return kg_triples(read_pages(paths))
 
 
+def _ensure_raw(sf_dir: str) -> None:
+    """Make sure the kernel-produced raw-ops oracle corpus exists for this
+    scale (resume-skipped once written).  Only the driver's correctness
+    scales get one — bench at sf0.1 never pays this."""
+    from kgray.fixtures import write_raw_ops_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag not in ("sf0.001", "sf0.01"):
+        return
+    n = _SF_PAGES[tag]
+    write_raw_ops_corpus(os.path.join(_CORPUS_ROOT, f"{tag}-{n}"), n,
+                         shard_rows=max(60, n // 16))
+
+
 def _kg_ops(sf_dir: str):
     from kgray.pipelines.kg import read_pages, kg_triples
 
+    _ensure_raw(sf_dir)
     return kg_triples(read_pages(pages_paths_for(sf_dir)))
+
+
+def _kg_triples_query(sf_dir: str):
+    """Flagship query with a hash-stable projection: ``warc_ts`` is emitted
+    as int64 epoch-microseconds (``warc_ts_us``) so the driver's value-hash
+    compare sees identical representations on the Ray and DuckDB sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stable(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("warc_ts")
+        return b.set_column(i, pa.field("warc_ts_us", pa.int64()),
+                            pc.cast(b["warc_ts"], pa.int64()))
+
+    return _kg_ops(sf_dir).map_batches(stable, batch_format="pyarrow")
 
 
 def _kg_commands(sf_dir: str):
@@ -64,12 +94,20 @@ def _kg_diff(sf_dir: str):
     split into an 'old' and a 'new' snapshot by page revision parity, and
     the diff emits INSERT (new-only) / DELETE (old-only) ops — the
     distributed ttl_compare.diff_ttls analog (SURVEY.md §2.4/§2.7)."""
+    import tempfile
+
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray.data as rd
 
     from kgray.stages.diff import diff_snapshots
 
-    ops = _kg_ops(sf_dir).materialize()  # one pipeline run feeds both sides
+    # One pipeline run feeds both sides via parquet, NOT .materialize():
+    # pinning the full ops dataset in the object store to fan out twice is
+    # the wrong shape at scale — write once, stream two cheap reads.
+    spill = tempfile.mkdtemp(prefix="kg_diff_ops_", dir="/tmp")
+    _kg_ops(sf_dir).write_parquet(spill)
+    ops = rd.read_parquet(spill)
 
     def to_snapshot(b: pa.Table) -> pa.Table:
         ent = pc.replace_substring_regex(
@@ -141,21 +179,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": S.knn_ivf,                    # rows-only (approximate)
         "neardup_cosine": S.neardup_cosine,
         "label_stats": S.label_stats,
-        # --- KG flagship (synthetic pages corpus; oracled by kgray.oracle
-        #     in tests — not SQL-expressible) ---
-        "kg_triples": _kg_ops,
+        # --- KG flagship (synthetic pages corpus).  DuckDB-oracled via the
+        #     kernel-produced raw-ops table (fixtures.write_raw_ops_corpus):
+        #     the SQL restates the relational tail (canonical dedup,
+        #     serialization, parity diff) independently ---
+        "kg_triples": _kg_triples_query,
         "kg_commands": _kg_commands,
         "kg_diff": _kg_diff,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgray.fixtures import RAW_DIRNAME
     from kgray.pipelines.relational import (
         HIGH_PRICE, REGEX_PATTERN, SHIP_CUTOFF, TOPK_N, UNION_PRICE,
         WINDOW_END, WINDOW_START,
     )
     from kgray.pipelines.simsearch import N_QUERIES, NEARDUP_SIM, TOP_K
     from kgray.pipelines.textproc import JACCARD_THRESHOLD
+
+    # The KG oracles read the kernel-produced raw-ops parquet (the shared
+    # table; see fixtures.raw_ops_table).  Ensure it exists for the driver's
+    # correctness scales: cheap resume-skip once written.  sf0.001 is small
+    # enough to write sequentially; sf0.01 only when Ray can parallelize.
+    try:
+        import ray as _ray
+
+        _ensure_raw("/root/testdata/sf0.001")
+        if _ray.is_initialized():
+            _ensure_raw("/root/testdata/sf0.01")
+    except Exception:
+        pass  # oracle strings are still valid; the query side also ensures
+
+    # corpus selector: the SQL gets no sf parameter, so the right cached
+    # corpus is picked by the registered views' own row count (orders is
+    # 1500 / 15000 / 150000 at sf0.001 / 0.01 / 0.1 -> 240 / 1200 / 6000
+    # pages) and the n_pages column stamped into every raw-ops row.
+    raw_glob = f"{_CORPUS_ROOT}/*/{RAW_DIRNAME}/raw-*.parquet"
+    kg_raw = f"""
+        SELECT * FROM read_parquet('{raw_glob}')
+        WHERE n_pages = (SELECT CASE count(*) WHEN 1500 THEN 240
+                                WHEN 15000 THEN 1200 WHEN 150000 THEN 6000
+                                ELSE 240 END
+                         FROM orders)
+    """
+    # canonicalize restated: one surviving row per triple key, survivor =
+    # lexicographically smallest (warc_ts, src_url) lineage (stages/
+    # canonicalize.py semantics, restated independently as a window rank)
+    kg_canon = f"""
+        SELECT * FROM ({kg_raw})
+        QUALIFY row_number() OVER (
+            PARTITION BY op, subj, pred, obj, lang, datatype, obj_type
+            ORDER BY warc_ts, src_url) = 1
+    """
 
     norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
     return {
@@ -314,5 +390,54 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
                        'sum'))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        # --- KG flagship: relational tail restated over the shared
+        #     kernel-produced raw-ops table (see kg_raw above) ---
+        "kg_triples": f"""
+            SELECT subj, pred, obj, obj_type, lang, datatype, src_url,
+                   epoch_us(warc_ts) AS warc_ts_us, op
+            FROM ({kg_canon})
+        """,
+        # serialization restated: triple_to_command + format_object
+        # (kernels/rdf.py) as SQL string building.  subj/pred/datatype are
+        # stored prefix-compacted and iri objects are stored in final form
+        # (prefixed or <bracketed>), so only the literal branch needs work:
+        # quote-escape, then lang / datatype(+00:00->Z) / plain.
+        "kg_commands": f"""
+            SELECT op || ' DATA {{ ' || subj || ' ' ||
+                   CASE WHEN pred = 'rdf:type' THEN 'a' ELSE pred END || ' ' ||
+                   CASE WHEN obj_type <> 'literal' THEN obj
+                        WHEN lang <> '' THEN '"' || esc || '"@' || lang
+                        WHEN datatype <> '' THEN
+                            '"' || replace(esc, '+00:00', 'Z') || '"^^' || datatype
+                        ELSE '"' || esc || '"' END
+                   || ' . }};' AS command
+            FROM (SELECT *, replace(obj, '"', '\\"') AS esc FROM ({kg_canon}))
+        """,
+        # parity snapshot diff restated: entity/rev from src_url, M17
+        # filters, DISTINCT per side, EXCEPT both directions
+        "kg_diff": rf"""
+            WITH snap AS (
+                SELECT DISTINCT
+                       regexp_extract(src_url, '/wiki/(Q\d+)[?]', 1) AS entity,
+                       CAST(regexp_extract(src_url, 'rev=(\d+)$', 1) AS BIGINT) % 2
+                           AS parity,
+                       subj, pred, obj, lang, datatype
+                FROM ({kg_canon})
+            ),
+            filt AS (
+                SELECT * FROM snap
+                WHERE subj NOT LIKE '%/owl#%' AND pred NOT LIKE '%/owl#%'
+                  AND obj NOT LIKE '%/owl#%'
+                  AND subj NOT LIKE 'wd:P%'
+                  AND NOT (subj LIKE 'wd:Q%' AND subj <> 'wd:' || entity)
+            ),
+            oldx AS (SELECT entity, subj, pred, obj, lang, datatype
+                     FROM filt WHERE parity = 0),
+            newx AS (SELECT entity, subj, pred, obj, lang, datatype
+                     FROM filt WHERE parity = 1)
+            SELECT *, 'INSERT' AS op FROM (SELECT * FROM newx EXCEPT SELECT * FROM oldx)
+            UNION ALL
+            SELECT *, 'DELETE' AS op FROM (SELECT * FROM oldx EXCEPT SELECT * FROM newx)
         """,
     }

