@@ -143,6 +143,35 @@ def _media_features(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _ensure_ttl(sf_dir: str) -> str | None:
+    """TTL snapshot corpus (derived from the raw-ops corpus) for this scale;
+    returns the ttl_docs path, or None for non-oracle scales."""
+    from kgray.fixtures import write_ttl_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag not in ("sf0.001", "sf0.01"):
+        tag = "sf0.001"  # TTL corpus exists at the oracle scales
+        sf_dir = "/root/testdata/sf0.001"
+    _ensure_raw(sf_dir)
+    n = _SF_PAGES[tag]
+    docs_path, _ = write_ttl_corpus(
+        os.path.join(_CORPUS_ROOT, f"{tag}-{n}"), n)
+    return docs_path
+
+
+def _ttl_parse(sf_dir: str):
+    """M12: parse dump-flavor Turtle snapshot docs back into the triples
+    schema.  The oracle side reads the independent pre-serialization table,
+    so this is an externally-checked parser/serializer round-trip."""
+    import ray.data as rd
+
+    from kgray.stages.ttl import parse_ttl_stage
+
+    docs_path = _ensure_ttl(sf_dir)
+    snapshots = rd.read_parquet(docs_path, columns=["entity", "ttl"])
+    return parse_ttl_stage(snapshots)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgray.pipelines import relational as R
     from kgray.pipelines import simsearch as S
@@ -186,11 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples_query,
         "kg_commands": _kg_commands,
         "kg_diff": _kg_diff,
+        "ttl_parse": _ttl_parse,                 # M12 TTL codec round-trip
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from kgray.fixtures import RAW_DIRNAME
+    from kgray.fixtures import RAW_DIRNAME, TTL_DIRNAME
     from kgray.pipelines.relational import (
         HIGH_PRICE, REGEX_PATTERN, SHIP_CUTOFF, TOPK_N, UNION_PRICE,
         WINDOW_END, WINDOW_START,
@@ -205,9 +235,9 @@ def oracle_sql() -> dict[str, str]:
     try:
         import ray as _ray
 
-        _ensure_raw("/root/testdata/sf0.001")
+        _ensure_ttl("/root/testdata/sf0.001")  # also ensures raw
         if _ray.is_initialized():
-            _ensure_raw("/root/testdata/sf0.01")
+            _ensure_ttl("/root/testdata/sf0.01")
     except Exception:
         pass  # oracle strings are still valid; the query side also ensures
 
@@ -439,5 +469,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'INSERT' AS op FROM (SELECT * FROM newx EXCEPT SELECT * FROM oldx)
             UNION ALL
             SELECT *, 'DELETE' AS op FROM (SELECT * FROM oldx EXCEPT SELECT * FROM newx)
+        """,
+        # M12 round-trip: the Ray side parses serialized TTL docs; the
+        # oracle reads the independent pre-serialization triples table
+        "ttl_parse": f"""
+            SELECT entity, subj, pred, obj, obj_type, lang, datatype
+            FROM read_parquet('{_CORPUS_ROOT}/*/{TTL_DIRNAME}/ttl_expected.parquet')
+            WHERE n_pages = (SELECT CASE count(*) WHEN 1500 THEN 240
+                                    WHEN 15000 THEN 1200 ELSE 240 END
+                             FROM orders)
         """,
     }

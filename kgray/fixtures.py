@@ -367,6 +367,78 @@ def write_raw_ops_corpus(corpus_dir: str, n: int, seed: int = SEED,
     return paths
 
 
+TTL_DIRNAME = f"ttl_{FIXTURE_VERSION}"
+
+
+def write_ttl_corpus(corpus_dir: str, n: int) -> tuple[str, str]:
+    """Derive a TTL snapshot corpus from the raw-ops corpus (which must
+    already exist under ``corpus_dir``): per entity, the distinct triple
+    set serialized as dump-flavor Turtle with ``;``/``,`` grouping.
+
+    Writes ``ttl_docs.parquet`` (entity, ttl, n_pages) — the engine input —
+    and ``ttl_expected.parquet`` (the pre-serialization triples + n_pages)
+    — the oracle side.  Parser and serializer are independent codecs, so a
+    match is a genuine round-trip check of M12, not self-grading."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .kernels.ttl import serialize_ttl
+
+    out_dir = os.path.join(corpus_dir, TTL_DIRNAME)
+    docs_path = os.path.join(out_dir, "ttl_docs.parquet")
+    exp_path = os.path.join(out_dir, "ttl_expected.parquet")
+    if os.path.exists(docs_path) and os.path.exists(exp_path):
+        return docs_path, exp_path
+
+    raw_files = sorted(glob.glob(os.path.join(corpus_dir, RAW_DIRNAME, "raw-*.parquet")))
+    if not raw_files:
+        raise FileNotFoundError(f"raw-ops corpus missing under {corpus_dir}")
+    cols = ["subj", "pred", "obj", "obj_type", "lang", "datatype", "src_url"]
+    raw = pa.concat_tables([pq.read_table(f, columns=cols) for f in raw_files])
+    ent = pc.replace_substring_regex(
+        raw["src_url"], pattern=r"^.*/wiki/(Q\d+)\?.*$", replacement=r"\1"
+    )
+    key_cols = ["entity", "subj", "pred", "obj", "obj_type", "lang", "datatype"]
+    distinct = (
+        raw.drop_columns(["src_url"])
+        .append_column("entity", ent)
+        .group_by(key_cols, use_threads=False)
+        .aggregate([])
+        .sort_by([(c, "ascending") for c in key_cols])
+    )
+
+    ents = distinct["entity"].to_pylist()
+    rows = list(zip(*(distinct[c].to_pylist() for c in key_cols[1:])))
+    doc_ents: list[str] = []
+    doc_ttls: list[str] = []
+    start = 0
+    for end in range(1, len(ents) + 1):
+        if end < len(ents) and ents[end] == ents[start]:
+            continue
+        doc_ents.append(ents[start])
+        doc_ttls.append(serialize_ttl(list(rows[start:end])))
+        start = end
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_col_docs = pa.array([n] * len(doc_ents), pa.int64())
+    docs = pa.Table.from_pydict(
+        {"entity": pa.array(doc_ents, pa.string()),
+         "ttl": pa.array(doc_ttls, pa.string()),
+         "n_pages": n_col_docs}
+    )
+    expected = distinct.append_column(
+        "n_pages", pa.array([n] * len(distinct), pa.int64())
+    )
+    for path, table in ((docs_path, docs), (exp_path, expected)):
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return docs_path, exp_path
+
+
 def aliases_table() -> pa.Table:
     return pa.Table.from_pylist(
         [
