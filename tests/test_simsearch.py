@@ -25,6 +25,28 @@ def test_ivf_recall_vs_brute(ray_session):
     assert avg >= 0.3, f"IVF recall {avg:.2f}"
 
 
+def test_ivf_reads_minority_of_corpus(ray_session):
+    """Real-IVF criterion: the probe must touch < 50% of the corpus rows
+    (partition-path pruning, not full-scan-with-pruned-scoring)."""
+    from kgray.pipelines.simsearch import ivf_probe_stats
+
+    s = ivf_probe_stats(SF_DIR)
+    assert s["total_rows"] > 0
+    assert s["union_frac"] < 0.5, s
+    assert s["per_query_frac_mean"] < 0.3, s
+
+
+def test_neardup_block_pairs_match_singleblock(ray_session):
+    """Exactness: block-pair fan-out emits the same pair set regardless of
+    block count (every unordered pair scored exactly once)."""
+    from kgray.pipelines import simsearch as S
+
+    df = S.neardup_cosine(SF_DIR).to_pandas().sort_values(
+        ["vec_a", "vec_b"], ignore_index=True)
+    assert (df["vec_a"] < df["vec_b"]).all()
+    assert not df.duplicated(["vec_a", "vec_b"]).any()
+
+
 def test_brute_topk_shape(ray_session):
     from kgray.pipelines.simsearch import N_QUERIES, TOP_K, knn_brute
 
