@@ -37,11 +37,105 @@ def build_alias_index(
     return index
 
 
-def compile_surface_pattern(surfaces: list[str]) -> re.Pattern:
-    """One alternation regex over all known surfaces, longest-first so the
-    longest surface wins at a position (compiled once per actor, ST1)."""
-    parts = sorted((re.escape(s) for s in set(surfaces)), key=len, reverse=True)
-    return re.compile(r"(?<![\w])(" + "|".join(parts) + r")(?![\w])")
+_WORD_RUN_RE = re.compile(r"\w+")
+
+
+class SurfaceMatcher:
+    """Token-window + hash-set surface matcher (the scalable replacement for
+    a giant regex alternation, which Python ``re`` cannot compile at the
+    ~10^7-alias scale this stage targets; VERDICT r1 "what's wrong" #5).
+
+    Semantics are byte-identical to the old pattern
+    ``(?<![\\w])(s1|s2|...)(?![\\w])`` with surfaces sorted longest-first:
+
+    * candidate spans are word-run windows of the text, so match boundaries
+      are exactly the non-word-char boundary assertions;
+    * the raw text span must equal the surface verbatim (case-sensitive;
+      separator differences like double spaces reject, as the literal
+      alternation would);
+    * selection is left-to-right, longest-at-a-position, non-overlapping —
+      finditer's scan behavior restated as a greedy sweep.
+
+    Build cost is one dict entry per surface (token-tuple -> surfaces) plus
+    a first-word prefilter set; probe cost is O(word_runs × distinct
+    surface lengths) dict lookups per document, independent of alias-table
+    size.  The rare surface that starts or ends with a NON-word character
+    cannot sit on word-run boundaries and falls back to a small regex
+    alternation over just those surfaces.
+    """
+
+    def __init__(self, surfaces: list[str]):
+        self.index: dict[tuple[str, ...], set[str]] = {}
+        self.first_words: set[str] = set()
+        self.lengths: list[int] = []
+        fallback: list[str] = []
+        lengths: set[int] = set()
+        for s in set(surfaces):
+            if not s:
+                continue
+            toks = tuple(_WORD_RUN_RE.findall(s))
+            word_bounded = (
+                bool(toks)
+                and s[0] == toks[0][0] and re.match(r"\w", s[0])
+                and s[-1] == toks[-1][-1] and re.match(r"\w", s[-1])
+            )
+            if not word_bounded:
+                fallback.append(s)
+                continue
+            self.index.setdefault(toks, set()).add(s)
+            self.first_words.add(toks[0])
+            lengths.add(len(toks))
+        self.lengths = sorted(lengths)
+        self.fallback_re = (
+            re.compile(
+                r"(?<![\w])("
+                + "|".join(sorted((re.escape(s) for s in fallback),
+                                  key=len, reverse=True))
+                + r")(?![\w])"
+            )
+            if fallback
+            else None
+        )
+
+    def find(self, text: str) -> list[tuple[str, int, int]]:
+        """[(surface, start, end)] — non-overlapping, longest-first."""
+        runs = [(m.group(), m.start(), m.end())
+                for m in _WORD_RUN_RE.finditer(text)]
+        cands: list[tuple[int, int, str]] = []
+        n = len(runs)
+        for i, (w, s0, _) in enumerate(runs):
+            if w not in self.first_words:
+                continue
+            for L in self.lengths:
+                if i + L > n:
+                    break
+                key = tuple(r[0] for r in runs[i:i + L])
+                surfs = self.index.get(key)
+                if not surfs:
+                    continue
+                e = runs[i + L - 1][2]
+                frag = text[s0:e]
+                if frag in surfs:
+                    cands.append((s0, e, frag))
+        if self.fallback_re is not None:
+            for m in self.fallback_re.finditer(text):
+                cands.append((m.start(1), m.end(1), m.group(1)))
+        # finditer restated: earliest start wins, longest at equal start,
+        # next scan resumes after the accepted match's end
+        cands.sort(key=lambda t: (t[0], -(t[1] - t[0])))
+        out: list[tuple[str, int, int]] = []
+        cursor = -1
+        for s0, e, frag in cands:
+            if s0 >= cursor:
+                out.append((frag, s0, e))
+                cursor = e
+        return out
+
+
+def compile_surface_pattern(surfaces: list[str]) -> SurfaceMatcher:
+    """Build the per-actor surface matcher (name kept from the regex era;
+    ST1 state, built once per actor)."""
+    return SurfaceMatcher(surfaces)
 
 
 def tokenize(text: str) -> frozenset[str]:
@@ -65,7 +159,7 @@ def score_candidates(
 def detect_and_link(
     body_text: str,
     index: dict[str, list[tuple[str, float, frozenset[str]]]],
-    pattern: re.Pattern,
+    matcher: SurfaceMatcher,
     linked_spans: list[tuple[int, int]] | None = None,
 ) -> list[tuple[str, str, int, int]]:
     """Find alias surfaces in free text and resolve each to a QID.
@@ -78,12 +172,11 @@ def detect_and_link(
     taken = sorted(linked_spans or [])
     ctx = tokenize(body_text)
     out: list[tuple[str, str, int, int]] = []
-    for m in pattern.finditer(body_text):
-        s, e = m.span(1)
+    for surface, s, e in matcher.find(body_text):
         if any(ts < e and s < te for ts, te in taken):
             continue
-        cands = index.get(m.group(1))
+        cands = index.get(surface)
         if not cands:
             continue
-        out.append((m.group(1), score_candidates(cands, ctx), s, e))
+        out.append((surface, score_candidates(cands, ctx), s, e))
     return out

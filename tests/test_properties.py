@@ -101,3 +101,59 @@ def test_ids_stable_and_shaped(ent, prop, value):
     assert a.startswith(f"{ent}-")
     t = time_node_id("2020-01-01T00:00:00Z", 11, 0, "wd:Q1985727")
     assert len(t) == 40 and t == time_node_id("2020-01-01T00:00:00Z", 11, 0, "wd:Q1985727")
+
+
+# ---------------------------------------------------------------------------
+# SurfaceMatcher: regex-equivalence on small tables, bounded time at scale
+# ---------------------------------------------------------------------------
+
+_surface = st.text(
+    alphabet=st.sampled_from("abcdefg XYZ'-"), min_size=1, max_size=12
+).filter(lambda s: s.strip())
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(_surface, min_size=1, max_size=8),
+    st.text(alphabet=st.sampled_from("abcdefg XYZ'-.,"), max_size=120),
+)
+def test_surface_matcher_equals_regex_alternation(surfaces, text):
+    """The token-window matcher must reproduce the old longest-first
+    regex alternation byte for byte on arbitrary inputs."""
+    import re
+
+    from kgray.kernels.link import SurfaceMatcher
+
+    parts = sorted((re.escape(s) for s in set(surfaces)), key=len, reverse=True)
+    pat = re.compile(r"(?<![\w])(" + "|".join(parts) + r")(?![\w])")
+    expected = [(m.group(1), m.start(1), m.end(1)) for m in pat.finditer(text)
+                if m.group(1)]
+    got = SurfaceMatcher(surfaces).find(text)
+    assert got == expected
+
+
+def test_surface_matcher_100k_aliases_bounded():
+    """The documented ~10^7-alias claim needs a matcher whose probe cost is
+    independent of table size: build 100k synthetic aliases (the regex
+    alternation path cannot compile this), match a corpus of documents, and
+    require correct hits in bounded time."""
+    import time
+
+    from kgray.kernels.link import SurfaceMatcher
+
+    surfaces = [f"alias{i} form{i % 97}" for i in range(100_000)]
+    surfaces += [f"solo{i}" for i in range(10_000)]
+    t0 = time.perf_counter()
+    m = SurfaceMatcher(surfaces)
+    build_s = time.perf_counter() - t0
+
+    text = ("The report mentions alias123 form26 and solo42 near alias99999 "
+            "form%d, but aliasX matches nothing. " % (99999 % 97)) * 50
+    t0 = time.perf_counter()
+    hits = m.find(text)
+    match_s = time.perf_counter() - t0
+    found = {h[0] for h in hits}
+    assert found == {"alias123 form26", "solo42", f"alias99999 form{99999 % 97}"}
+    assert len(hits) == 150
+    assert build_s < 10, f"index build took {build_s:.1f}s"
+    assert match_s < 2, f"matching took {match_s:.1f}s"
