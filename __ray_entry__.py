@@ -89,6 +89,18 @@ def _kg_commands(sf_dir: str):
     return serialize_stage(_kg_ops(sf_dir))
 
 
+def _kg_blocks(sf_dir: str):
+    from kgray.pipelines.views import kg_blocks
+
+    return kg_blocks(_kg_ops(sf_dir))
+
+
+def _kg_changelog(sf_dir: str):
+    from kgray.pipelines.views import kg_changelog
+
+    return kg_changelog(_kg_ops(sf_dir))
+
+
 def _kg_diff(sf_dir: str):
     """Snapshot-diff over the KG pipeline's own triples: the corpus is
     split into an 'old' and a 'new' snapshot by page revision parity, and
@@ -215,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples_query,
         "kg_commands": _kg_commands,
         "kg_diff": _kg_diff,
+        "kg_blocks": _kg_blocks,                 # A1 per-entity block render
+        "kg_changelog": _kg_changelog,           # newest-first change log
         "ttl_parse": _ttl_parse,                 # M12 TTL codec round-trip
     }
 
@@ -261,6 +275,24 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY op, subj, pred, obj, lang, datatype, obj_type
             ORDER BY warc_ts, src_url) = 1
+    """
+
+    # serialization restated once, shared by kg_commands / kg_blocks /
+    # kg_changelog (expects an `esc` = quote-escaped obj column in scope)
+    kg_cmd_expr = """op || ' DATA { ' || subj || ' '
+            || CASE WHEN pred = 'rdf:type' THEN 'a' ELSE pred END || ' '
+            || CASE WHEN obj_type <> 'literal' THEN obj
+                    WHEN lang <> '' THEN '"' || esc || '"@' || lang
+                    WHEN datatype <> '' THEN
+                        '"' || replace(esc, '+00:00', 'Z') || '"^^' || datatype
+                    ELSE '"' || esc || '"' END
+            || ' . };'"""
+    kg_cmdrows = rf"""
+        SELECT regexp_extract(src_url, '/wiki/(Q\d+)[?]', 1) AS entity,
+               CAST(regexp_extract(src_url, 'rev=(\d+)$', 1) AS BIGINT) AS rev,
+               src_url, epoch_us(warc_ts) AS warc_ts_us, op,
+               {kg_cmd_expr} AS command
+        FROM (SELECT *, replace(obj, '"', '\"') AS esc FROM ({kg_canon}))
     """
 
     norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -434,15 +466,20 @@ def oracle_sql() -> dict[str, str]:
         # (prefixed or <bracketed>), so only the literal branch needs work:
         # quote-escape, then lang / datatype(+00:00->Z) / plain.
         "kg_commands": f"""
-            SELECT op || ' DATA {{ ' || subj || ' ' ||
-                   CASE WHEN pred = 'rdf:type' THEN 'a' ELSE pred END || ' ' ||
-                   CASE WHEN obj_type <> 'literal' THEN obj
-                        WHEN lang <> '' THEN '"' || esc || '"@' || lang
-                        WHEN datatype <> '' THEN
-                            '"' || replace(esc, '+00:00', 'Z') || '"^^' || datatype
-                        ELSE '"' || esc || '"' END
-                   || ' . }};' AS command
-            FROM (SELECT *, replace(obj, '"', '\\"') AS esc FROM ({kg_canon}))
+            SELECT command FROM ({kg_cmdrows})
+        """,
+        # A1 block render: per-page header + command-sorted string_agg
+        "kg_blocks": f"""
+            SELECT entity, rev, warc_ts_us, count(*) AS n_commands,
+                   'changes for entity: ' || entity || ' rev: '
+                       || CAST(rev AS VARCHAR) || chr(10) || chr(10)
+                       || string_agg(command, chr(10) ORDER BY command) AS block
+            FROM ({kg_cmdrows})
+            GROUP BY entity, rev, warc_ts_us, src_url
+        """,
+        # newest-first change log (content check; ordering is a sort key)
+        "kg_changelog": f"""
+            SELECT warc_ts_us, entity, op, command FROM ({kg_cmdrows})
         """,
         # parity snapshot diff restated: entity/rev from src_url, M17
         # filters, DISTINCT per side, EXCEPT both directions
