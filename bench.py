@@ -73,7 +73,65 @@ def _init_ray(num_cpus: int) -> None:
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Default 128 MiB block targets cap mid-pipeline parallelism below the
+    # core count on benchmark-scale inputs (measured: 19-task reduces on 32
+    # cpus).  32 MiB keeps every stage at least cluster-wide here; at real
+    # cluster scale the data volume makes this moot.
+    ctx.target_max_block_size = 32 * 1024 * 1024
+
+
+# in-bench scaling corpus: heavy enough that per-page compute dominates
+# fixed session windows, light enough to keep the round bench bounded
+BENCH_SCALING_PAGES = int(os.environ.get("KGRAY_BENCH_SCALING_PAGES", "20000"))
+BENCH_SCALING_RICHNESS = int(os.environ.get("KGRAY_BENCH_SCALING_RICHNESS", "8"))
+
+
+def _single_run(num_cpus: int, pages: int | None = None,
+                richness: int | None = None) -> dict:
+    """One fresh-process flagship run over the scaling corpus."""
+    env = dict(os.environ)
+    if pages is not None:
+        env["KGRAY_SCALING_PAGES"] = str(pages)
+    if richness is not None:
+        env["KGRAY_SCALING_RICHNESS"] = str(richness)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single", str(num_cpus)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _scaling_sample() -> dict:
+    """Single-sample two-level scaling with an interleaved pure-CPU control
+    (the north-rule N-vs-4N criterion tracked per round; BASELINE.md holds
+    the best-of-N methodology and numbers).  Host capacity on this shared
+    box swings ~2x between runs, so the raw number only means something
+    next to the spin ceiling measured at the same moments."""
+    lo, hi = max(1, NUM_CPUS // 4), NUM_CPUS
+    spin = {n: [] for n in (lo, hi)}
+    spin[lo].append(_spin_throughput(lo))
+    r_lo = _single_run(lo, BENCH_SCALING_PAGES, BENCH_SCALING_RICHNESS)
+    spin[hi].append(_spin_throughput(hi))
+    r_hi = _single_run(hi, BENCH_SCALING_PAGES, BENCH_SCALING_RICHNESS)
+    spin[lo].append(_spin_throughput(lo))
+    spin[hi].append(_spin_throughput(hi))
+    thr = {n: r["rows"] / r["sec"] for n, r in ((lo, r_lo), (hi, r_hi))}
+    eff = (thr[hi] / thr[lo]) / (hi / lo)
+    spin_avg = {n: sum(v) / len(v) for n, v in spin.items()}
+    spin_eff = (spin_avg[hi] / spin_avg[lo]) / (hi / lo)
+    return {
+        "docs": r_hi["docs"],
+        "sec": {str(lo): r_lo["sec"], str(hi): r_hi["sec"]},
+        "throughput_rows_per_sec": {str(n): round(thr[n], 1) for n in thr},
+        "efficiency": round(eff, 3),
+        "cpu_spin_ceiling_efficiency": round(spin_eff, 3),
+        "normalized_efficiency": round(min(1.0, eff / spin_eff), 3) if spin_eff else None,
+        "note": "single sample; see BASELINE.md for best-of-N methodology",
+    }
 
 
 def main() -> None:
@@ -84,7 +142,7 @@ def main() -> None:
     total = round(time.perf_counter() - t0, 3)
     kg_rows = rows.get("kg_triples", 0)
     kg_sec = times.get("kg_triples", 0.0) or 1e-9
-    print(json.dumps({
+    result = {
         "metric": "headline pipelines wall-clock (kg construction + operator suite)",
         "value": total,
         "unit": "sec",
@@ -93,10 +151,13 @@ def main() -> None:
         "kg_triples_per_sec": round(kg_rows / kg_sec, 1),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-    }))
+    }
     import ray
 
-    ray.shutdown()
+    ray.shutdown()  # the scaling subprocesses own their own sessions
+    if os.environ.get("KGRAY_BENCH_SCALING", "1") != "0":
+        result["scaling"] = _scaling_sample()
+    print(json.dumps(result))
 
 
 SCALING_PAGES = int(os.environ.get("KGRAY_SCALING_PAGES", "40000"))
@@ -166,16 +227,16 @@ def _spin_throughput(nprocs: int, seconds: float = 2.0) -> float:
     return total / seconds
 
 
-def scaling() -> None:
+def scaling(repeats: int = 2) -> None:
+    """Best-of-N per level (fresh processes, same cached input), interleaved
+    so host-capacity swings hit both levels comparably."""
     lo, hi = max(1, NUM_CPUS // 4), NUM_CPUS
-    results = {}
-    for n in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(n)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[n] = json.loads(line)
+    results: dict[int, dict] = {}
+    for _ in range(repeats):
+        for n in (lo, hi):
+            r = _single_run(n)
+            if n not in results or r["sec"] < results[n]["sec"]:
+                results[n] = r
     thr = {n: results[n]["rows"] / results[n]["sec"] for n in results}
     eff = (thr[hi] / thr[lo]) / (hi / lo)
     spin = {n: _spin_throughput(n) for n in (lo, hi)}

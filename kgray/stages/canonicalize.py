@@ -100,5 +100,12 @@ def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 64):
         group = group.drop_columns([BUCKET_COL])
         return _first_per_key(_with_key(group)).drop_columns([_KEY])
 
+    # Physical note: widening the reduce with an extra repartition (before
+    # or after the combiner) was A/B-measured at 20k pages x richness 8 and
+    # NOT kept — the added exchange cost exceeded the width gain (sort
+    # reduce cpu-time grew ~3x at 64 partitions), and host-contention noise
+    # dominated any residual difference.  The reduce width therefore follows
+    # the upstream block count, which grows with data size — the property
+    # that matters at cluster scale.
     pre = ops.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
     return pre.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

@@ -49,3 +49,17 @@ def write_conformance_file(ops, path: str) -> int:
                 f.write(cmd + "\n")
                 n += 1
     return n
+
+
+def console_sink(ops, n: int = 20) -> int:
+    """S6 console sink: print the first ``n`` commands (the reference's
+    PRINT_OUTPUT debug path, get_updates.py:565-571).  Bounded by
+    ``Dataset.limit`` — never pulls more than ``n`` rows to the driver."""
+    shown = 0
+    for b in serialize_stage(ops.limit(n)).iter_batches(
+        batch_size=max(1, n), batch_format="pyarrow"
+    ):
+        for cmd in b["command"].to_pylist():
+            print(cmd)
+            shown += 1
+    return shown

@@ -56,3 +56,14 @@ def test_materialize_and_resume(ray_session, small_corpus, tmp_path):
     # resume: second run with an existing valid manifest skips the write
     m2 = run_kg_pipeline(small_corpus, str(out), link_concurrency=2)
     assert m2 == m1
+
+
+def test_console_sink(ray_session, small_corpus, capsys):
+    """S6: bounded debug preview — n command lines, golden shape."""
+    from kgray.pipelines.kg import read_pages, kg_triples
+    from kgray.stages.serialize import console_sink
+
+    n = console_sink(kg_triples(read_pages(small_corpus)), n=5)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert n == 5 and len(out) == 5
+    assert all(l.startswith(("INSERT DATA { ", "DELETE DATA { ")) for l in out)
