@@ -32,24 +32,33 @@ _ROW_FIELDS = ("entity", "kind", "prop", "vtype", "value", "lang", "rank",
 
 
 def assemble_batch(batch: pa.Table) -> pa.Table:
-    cols = {name: [] for name in OPS_SCHEMA.names}
-    data = {f: batch[f].to_pylist() for f in _ROW_FIELDS}
-    urls = batch["url"].to_pylist()
-    tss = batch["warc_ts"].to_pylist()
-    n = len(urls)
-    for i in range(n):
-        row = {f: data[f][i] for f in _ROW_FIELDS}
-        for (s, p, o, ot, lg, dt, op) in raw_claim_to_triples(row):
-            cols["subj"].append(s)
-            cols["pred"].append(p)
-            cols["obj"].append(o)
-            cols["obj_type"].append(ot)
-            cols["lang"].append(lg)
-            cols["datatype"].append(dt)
-            cols["src_url"].append(urls[i])
-            cols["warc_ts"].append(tss[i])
-            cols["op"].append(op)
-    return pa.Table.from_pydict(cols, schema=OPS_SCHEMA)
+    """Row iteration is a single zip over the column lists (no per-row
+    indexed dict rebuild), fan-out rows accumulate as tuples and transpose
+    ONCE into arrays — the per-row Python surface is the kernel call plus
+    one dict literal."""
+    out: list[tuple] = []
+    col_lists = [batch[f].to_pylist() for f in ("url", "warc_ts", *_ROW_FIELDS)]
+    for url, ts, ent, kind, prop, vtype, value, lang, rank, pprop, pval, op in zip(
+        *col_lists
+    ):
+        row = {
+            "entity": ent, "kind": kind, "prop": prop, "vtype": vtype,
+            "value": value, "lang": lang, "rank": rank,
+            "parent_prop": pprop, "parent_value": pval, "op": op,
+        }
+        for t in raw_claim_to_triples(row):
+            out.append((*t, url, ts))
+    if not out:
+        return OPS_SCHEMA.empty_table()
+    s, p, o, ot, lg, dt, op_, url_, ts_ = zip(*out)
+    return pa.Table.from_pydict(
+        {
+            "subj": list(s), "pred": list(p), "obj": list(o),
+            "obj_type": list(ot), "lang": list(lg), "datatype": list(dt),
+            "src_url": list(url_), "warc_ts": list(ts_), "op": list(op_),
+        },
+        schema=OPS_SCHEMA,
+    )
 
 
 def assemble_stage(raw_claims, *, batch_size: int = 8192):
