@@ -51,6 +51,46 @@ def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
     return canonicalize_stage(ops)
 
 
+def run_kg_pipeline_partitioned(paths, out_root: str, *,
+                                shards_per_partition: int = 8,
+                                alias_rows=None, verify_text: bool = True,
+                                link_concurrency=None) -> dict:
+    """Partitioned flagship run: input shards are grouped into partitions,
+    each written to ``out_root/part-NNNN`` with its own lineage manifest —
+    so a failed 100 TB run resumes by skipping every partition whose
+    manifest validates, re-doing only the partition that died (the
+    checkpoint-resume granularity the north rule asks for; a single-dir
+    run can only resume all-or-nothing).
+
+    Canonical dedup is exact WITHIN a partition; duplicates whose survivors
+    land in different partitions are deduped by the deterministic
+    (warc_ts, src_url)-min rule at read time if global set semantics are
+    needed (the reference itself never dedupes across runs).
+
+    Returns {partition dir -> manifest}, with skipped (resumed) partitions
+    marked ``"resumed": True``.
+    """
+    from ..stages.materialize import is_complete, manifest_path
+    import json as _json
+    import os as _os
+
+    paths = list(paths)
+    manifests: dict[str, dict] = {}
+    for p0 in range(0, len(paths), shards_per_partition):
+        part = paths[p0:p0 + shards_per_partition]
+        out_dir = _os.path.join(out_root, f"part-{p0 // shards_per_partition:04d}")
+        if is_complete(out_dir):
+            with open(manifest_path(out_dir)) as f:
+                m = _json.load(f)
+            m["resumed"] = True
+            manifests[out_dir] = m
+            continue
+        manifests[out_dir] = run_kg_pipeline(
+            part, out_dir, alias_rows=alias_rows, verify_text=verify_text,
+            link_concurrency=link_concurrency)
+    return manifests
+
+
 def run_kg_pipeline(paths, out_dir: str | None = None, *, alias_rows=None,
                     verify_text: bool = True, link_concurrency=None):
     """Full run: read -> ... -> canonicalize [-> sort+write+manifest].

@@ -40,6 +40,29 @@ def is_complete(out_dir: str) -> bool:
         return False
 
 
+def _stage_summary(ds) -> list[dict]:
+    """Compact per-operator metrics from the executed Dataset's stats():
+    one {stage, tasks, wall} entry per operator line."""
+    import re
+
+    out: list[dict] = []
+    try:
+        stats = ds.stats()
+    except Exception:
+        return out
+    for line in stats.splitlines():
+        m = re.match(
+            r"Operator (\d+) (\S+?):? (?:(\d+) tasks executed, )?"
+            r".*?in ([0-9.]+)s", line)
+        if m:
+            out.append({
+                "stage": m.group(2).rstrip(":"),
+                "tasks": int(m.group(3)) if m.group(3) else None,
+                "wall_sec": float(m.group(4)),
+            })
+    return out
+
+
 def materialize_stage(
     ds,
     out_dir: str,
@@ -64,8 +87,14 @@ def materialize_stage(
     if sort_key:
         ds = ds.sort(list(sort_key), descending=descending)
     os.makedirs(out_dir, exist_ok=True)
+    # no valid manifest => any parquet here is debris from a crashed or
+    # invalidated run; clear it so the rewrite can't double-count rows
+    for stale in os.listdir(out_dir):
+        if stale.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, stale))
     ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     elapsed = time.perf_counter() - t0
+    stage_metrics = _stage_summary(ds)
 
     files = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
     rows = sum(pq.read_metadata(os.path.join(out_dir, p)).num_rows for p in files)
@@ -112,6 +141,9 @@ def materialize_stage(
         "descending": descending,
         "write_sec": round(elapsed, 3),
         "metrics": metrics,
+        # per-stage wall/task breakdown (north rule: metrics logged for
+        # every stage), parsed from the executed plan's stats
+        "stages": stage_metrics,
     }
     tmp = manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:

@@ -67,3 +67,34 @@ def test_console_sink(ray_session, small_corpus, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert n == 5 and len(out) == 5
     assert all(l.startswith(("INSERT DATA { ", "DELETE DATA { ")) for l in out)
+
+
+def test_partitioned_run_and_per_partition_resume(ray_session, small_corpus, tmp_path):
+    """North rule: per-partition lineage manifests + checkpoint-resume at
+    partition granularity; stage metrics recorded per partition."""
+    import json
+    import os
+
+    from kgray.pipelines.kg import run_kg_pipeline_partitioned
+
+    out = str(tmp_path / "parts")
+    m1 = run_kg_pipeline_partitioned(small_corpus, out, shards_per_partition=2)
+    assert len(m1) == 2  # 3 shards of 40 pages -> partitions of 2+1
+    assert all(not m.get("resumed") for m in m1.values())
+    for d, m in m1.items():
+        assert os.path.exists(os.path.join(d, "_manifest.json"))
+        assert m["rows"] > 0
+        assert m["metrics"]["docs"] > 0
+        assert any(s["stage"].startswith("MapBatches") for s in m["stages"])
+
+    # sabotage nothing; rerun must resume every partition untouched
+    m2 = run_kg_pipeline_partitioned(small_corpus, out, shards_per_partition=2)
+    assert all(m.get("resumed") for m in m2.values())
+
+    # invalidate one partition -> only that one recomputes
+    victim = sorted(m1)[0]
+    os.remove(os.path.join(victim, "_manifest.json"))
+    m3 = run_kg_pipeline_partitioned(small_corpus, out, shards_per_partition=2)
+    assert not m3[victim].get("resumed")
+    assert all(m.get("resumed") for d, m in m3.items() if d != victim)
+    assert m3[victim]["rows"] == m1[victim]["rows"]
