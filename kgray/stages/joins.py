@@ -86,13 +86,29 @@ def distinct_keys(ds, key: str):
     return ds.map_batches(local, batch_format="pyarrow")
 
 
-def hash_semi_join(left, right, *, on: str, num_partitions: int = 8):
+def default_join_partitions() -> int:
+    """Hash-exchange width: ~cluster cores (cap 256 so the tiny testdata
+    joins don't fragment into confetti).  At 100 TB callers should pass an
+    explicit value sized to data volume / target partition bytes."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return min(256, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
+    return 8
+
+
+def hash_semi_join(left, right, *, on: str, num_partitions: int | None = None):
     """Rows of ``left`` whose key appears in ``right`` (one hash exchange)."""
     return left.join(distinct_keys(right, on), join_type="left_semi",
-                     num_partitions=num_partitions, on=(on,))
+                     num_partitions=num_partitions or default_join_partitions(),
+                     on=(on,))
 
 
-def hash_anti_join(left, right, *, on: str, num_partitions: int = 8):
+def hash_anti_join(left, right, *, on: str, num_partitions: int | None = None):
     """Rows of ``left`` whose key does NOT appear in ``right``."""
     return left.join(distinct_keys(right, on), join_type="left_anti",
-                     num_partitions=num_partitions, on=(on,))
+                     num_partitions=num_partitions or default_join_partitions(),
+                     on=(on,))

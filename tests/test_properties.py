@@ -157,3 +157,44 @@ def test_surface_matcher_100k_aliases_bounded():
     assert len(hits) == 150
     assert build_s < 10, f"index build took {build_s:.1f}s"
     assert match_s < 2, f"matching took {match_s:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# TTL codec: serialize ∘ parse == identity on arbitrary well-formed triples
+# ---------------------------------------------------------------------------
+
+_pname = st.builds(
+    lambda p, l: f"{p}:{l}",
+    st.sampled_from(["wd", "wdt", "p", "ps", "s", "v", "ref", "schema", "skos"]),
+    st.text(alphabet=st.sampled_from("ABCDEFQP0123456789abcdef"), min_size=1, max_size=12),
+)
+_literal_val = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=40,
+)
+_lang = st.sampled_from(["", "en", "pt-BR", "de"])
+_dt = st.sampled_from(["", "xsd:dateTime", "xsd:integer", "xsd:decimal"])
+
+
+@st.composite
+def _triple(draw):
+    subj = draw(_pname)
+    pred = draw(st.one_of(_pname, st.just("rdf:type")))
+    if draw(st.booleans()):
+        obj = draw(st.one_of(_pname, st.just("<http://example.org/x>")))
+        return (subj, pred, obj, "iri", "", "")
+    lang = draw(_lang)
+    dt = "" if lang else draw(_dt)
+    val = draw(_literal_val)
+    if dt == "xsd:dateTime":
+        val = draw(st.sampled_from(
+            ["2020-01-02T03:04:05Z", "-0347-05-12T00:00:00Z", "1999-12-31T23:59:59Z"]))
+    return (subj, pred, val, "literal", lang, dt)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_triple(), min_size=1, max_size=12))
+def test_ttl_roundtrip_property(triples):
+    from kgray.kernels.ttl import parse_ttl, serialize_ttl
+
+    assert parse_ttl(serialize_ttl(triples)) == triples
