@@ -184,6 +184,15 @@ def _ttl_parse(sf_dir: str):
     return parse_ttl_stage(snapshots)
 
 
+def _q(module: str, name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        import importlib
+
+        return getattr(importlib.import_module(module), name)(sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgray.pipelines import relational as R
     from kgray.pipelines import simsearch as S
@@ -215,8 +224,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": T.simhash_signatures,         # rows-only
         "simhash_pairs": T.simhash_pairs,        # rows-only (probabilistic)
         "fingerprints": T.fingerprints,          # rows-only
-        # --- similarity search ---
+        # --- multimodal (binary payloads; synthetic codecs, real plumbing) ---
         "media_features": _media_features,      # rows-only (binary plumbing)
+        "media_resize": _q("kgray.pipelines.multimodal", "media_resize"),
+        "frame_sample": _q("kgray.pipelines.multimodal", "frame_sample"),
+        "audio_features": _q("kgray.pipelines.multimodal", "audio_features"),
+        # --- similarity search ---
         "knn_brute": S.knn_brute,
         "knn_ivf": S.knn_ivf,                    # rows-only (approximate)
         "neardup_cosine": S.neardup_cosine,

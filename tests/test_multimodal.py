@@ -37,3 +37,40 @@ def test_media_features_pipeline(ray_session):
     # rerun -> identical features (content-hash stability)
     again = media_features(SF_DIR).to_pandas().sort_values("media_id", ignore_index=True)
     assert (df["sha1"] == again["sha1"]).all()
+
+
+def test_media_resize_composes_with_features(ray_session):
+    """resize emits valid KGIM payloads that the feature stage consumes."""
+    import numpy as np
+
+    from kgray.pipelines.multimodal import (
+        MediaFeatureActor, decode_image, media_resize,
+    )
+
+    df = media_resize("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 128
+    assert (df["width"] <= 12).all() and (df["height"] <= 12).all()
+    img = decode_image(df.iloc[0]["payload"])
+    assert img.shape == (df.iloc[0]["height"], df.iloc[0]["width"])
+
+
+def test_frame_sample_fanout(ray_session):
+    from kgray.pipelines.multimodal import decode_image, frame_sample
+
+    df = frame_sample("/root/testdata/sf0.001").to_pandas()
+    # stride 4 over 8..16 frames -> 2..4 frames per video, 64 videos
+    per = df.groupby("media_id").size()
+    assert len(per) == 64
+    assert per.between(2, 4).all()
+    assert (df["frame_idx"] % 4 == 0).all()
+    decode_image(df.iloc[0]["payload"])  # frames are standalone images
+
+
+def test_audio_features(ray_session):
+    from kgray.pipelines.multimodal import audio_features
+
+    df = audio_features("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 64
+    assert (df["rms"] > 0).all()
+    assert (df["zero_crossings"] > 0).all()
+    assert (df["n_samples"] >= 4000).all()
