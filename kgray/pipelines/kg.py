@@ -26,18 +26,21 @@ def read_pages(paths, *, columns=("url", "warc_ts", "html", "text", "lang")):
 
 
 def _auto_concurrency() -> tuple[int, int]:
-    """Size the linker pool to the cluster: the fused extract+link actor
-    stage is the pipeline's heaviest compute, so the pool starts at FULL
-    width immediately (autoscaling from half ramped too slowly — the stage
-    ran below cluster width for its first half).  Falls back to (1, 8)
-    when Ray isn't up yet."""
+    """Size the linker pool to the cluster: eager floor of half the cores
+    (actor startup overlaps the read instead of lagging behind the queue),
+    ceiling of all cores.  Falls back to (1, 8) when Ray isn't up yet.
+
+    Do NOT floor at the full core count: the pool's CPU reservations then
+    starve the task-pool operators (read/assemble/sort) and the whole
+    pipeline crawls near-idle — measured as an 81%-idle stall at
+    num_cpus=8 when the floor equaled the core count."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    return (max(1, cpus), max(2, cpus))
+    return (max(1, cpus // 2), max(2, cpus))
 
 
 def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
