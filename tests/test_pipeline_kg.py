@@ -6,6 +6,7 @@ set against the single-threaded reference-semantics oracle, order-insensitive
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from kgray.fixtures import aliases_table
@@ -98,3 +99,33 @@ def test_partitioned_run_and_per_partition_resume(ray_session, small_corpus, tmp
     assert not m3[victim].get("resumed")
     assert all(m.get("resumed") for d, m in m3.items() if d != victim)
     assert m3[victim]["rows"] == m1[victim]["rows"]
+
+
+def test_drift_raises(ray_session, tmp_path):
+    """A corrupted text cell must fail the run loudly, not drift silently."""
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from kgray import schema as _schema
+    from kgray.fixtures import gen_pages_table
+
+    t = gen_pages_table(10)
+    texts = t["text"].to_pylist()
+    texts[3] = texts[3] + " CORRUPTED"
+    t = t.set_column(t.column_names.index("text"), "text",
+                     pa.array(texts, pa.large_string()))
+    p = tmp_path / "bad.parquet"
+    _pq.write_table(t.cast(_schema.PAGES), str(p))
+    with _pytest.raises(Exception, match="text extraction drift"):
+        run_kg_pipeline([str(p)], link_concurrency=1).materialize()
+
+
+def test_empty_input(ray_session, tmp_path):
+    """Zero-row input -> zero-row output, no crash anywhere in the DAG."""
+    import pyarrow.parquet as _pq
+
+    from kgray import schema as _schema
+
+    p = tmp_path / "empty.parquet"
+    _pq.write_table(_schema.PAGES.empty_table(), str(p))
+    assert run_kg_pipeline([str(p)], link_concurrency=1).count() == 0
