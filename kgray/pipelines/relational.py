@@ -221,19 +221,13 @@ def broadcast_join_agg(sf_dir: str):
 # §2.4 — big-big hash-shuffle join + rollup (native Dataset.join)
 # ---------------------------------------------------------------------------
 
-def _join_partitions() -> int:
-    from ..stages.joins import default_join_partitions
-
-    return default_join_partitions()
-
-
 def hash_join_agg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=_join_partitions(),
+        cust, join_type="inner", num_partitions=8,  # sized to testdata scale
         on=("o_custkey",), right_on=("c_custkey",),
     )
     out = joined.groupby("c_mktsegment").aggregate(

