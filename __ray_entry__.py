@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_groupby": R.salted_groupby,      # A4 skew-salted two-phase
         "scalar_funcs": R.scalar_funcs,          # §2.8 scalar catalog
         "diff_ops": R.diff_ops,                  # §2.4 snapshot-diff anti-join
+        "tumbling_window": R.tumbling_window,    # windowed aggregate
+        "sessionize": R.sessionize,              # gap-based sessionization
         # --- training-data text ops ---
         "dedup_exact": T.dedup_exact,
         "dedup_normalized": T.dedup_normalized,
@@ -250,9 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from kgray.fixtures import RAW_DIRNAME, TTL_DIRNAME
     from kgray.pipelines.relational import (
-        HIGH_PRICE, REGEX_PATTERN, SHIP_CUTOFF, TOPK_N, UNION_PRICE,
-        WINDOW_END, WINDOW_START,
+        HIGH_PRICE, REGEX_PATTERN, SESSION_GAP_MIN, SHIP_CUTOFF, TOPK_N,
+        UNION_PRICE, WINDOW_END, WINDOW_START,
     )
+
+    SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
     from kgray.pipelines.simsearch import N_QUERIES, NEARDUP_SIM, TOP_K
     from kgray.pipelines.textproc import JACCARD_THRESHOLD
 
@@ -387,6 +391,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'DELETE' AS op FROM (
                 SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
                 EXCEPT SELECT doc_id FROM documents WHERE doc_id % 2 <> 0)
+        """,
+        "tumbling_window": """
+            SELECT event_type, epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS win_start_us,
+                   count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type, win_start_us
+        """,
+        "sessionize": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            d AS (SELECT user_id, ts_us,
+                    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                              IS NULL
+                           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                       ORDER BY ts_us)
+                              > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+                  FROM e),
+            s AS (SELECT user_id, ts_us,
+                    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                  FROM d)
+            SELECT user_id, session_id, min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us, count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -423,3 +423,106 @@ def diff_ops(sf_dir: str):
         return b.drop_columns(["side_min", "side_max"]).append_column("op", op)
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O3+ — tumbling-window aggregate (the windowed-aggregate custom op the
+# engine contract lists; expressed as combiner -> one hash exchange, the
+# window key being a pure projection so no ordering/state is needed)
+# ---------------------------------------------------------------------------
+
+def tumbling_window(sf_dir: str):
+    """events -> per (event_type, 1-day tumbling window) count + sum."""
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        t = pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "win_start": day,
+                "n": pa.array([1] * len(b), pa.int64()),
+                "sum_value": b["value"],
+            }
+        )
+        return (
+            t.group_by(["event_type", "win_start"])
+            .aggregate([("n", "sum"), ("sum_value", "sum")])
+            .rename_columns(["event_type", "win_start", "n", "sum_value"])
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = _round2(b, ["sum_value"])
+        i = b.column_names.index("win_start")
+        us = pc.cast(pc.cast(b["win_start"], pa.timestamp("us")), pa.int64())
+        return b.set_column(i, pa.field("win_start_us", pa.int64()), us)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based sessions per user (the stateful streaming-window
+# op): ONE hash-bucket exchange co-locates each user's events, then session
+# boundaries are a vectorized diff over the (user, ts)-sorted bucket — no
+# per-user Python calls, no driver state.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(sf_dir: str):
+    """events -> one row per (user_id, session): start/end (epoch us),
+    event count.  A new session starts when the gap since the user's
+    previous event exceeds SESSION_GAP_MIN minutes."""
+    import numpy as np
+
+    from ..stages.shuffle import bucket_groupby
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_id": pa.array([], pa.int64()),
+                 "session_start_us": pa.array([], pa.int64()),
+                 "session_end_us": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = new_user | gap
+        # session ordinal within user = cumulative starts, reset per user
+        cum = np.cumsum(starts)
+        user_base = np.maximum.accumulate(np.where(new_user, cum - 1, 0))
+        sess = cum - 1 - user_base  # 0-based per user
+        key = np.flatnonzero(starts)
+        bounds = np.append(key, n)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[key], pa.int64()),
+                "session_id": pa.array(sess[key].astype(np.int64), pa.int64()),
+                "session_start_us": pa.array(ts[key], pa.int64()),
+                "session_end_us": pa.array(
+                    [int(ts[bounds[i + 1] - 1]) for i in range(len(key))], pa.int64()),
+                "n_events": pa.array(np.diff(bounds).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bucket_groupby(ev, ["user_id"], per_bucket)
