@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_ops": R.diff_ops,                  # §2.4 snapshot-diff anti-join
         "tumbling_window": R.tumbling_window,    # windowed aggregate
         "sessionize": R.sessionize,              # gap-based sessionization
+        "asof_join": R.asof_join_events,         # temporal as-of join
         # --- training-data text ops ---
         "dedup_exact": T.dedup_exact,
         "dedup_normalized": T.dedup_normalized,
@@ -413,6 +414,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, min(ts_us) AS session_start_us,
                    max(ts_us) AS session_end_us, count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            l AS (SELECT * FROM e WHERE event_type <> 'signup'),
+            r AS (SELECT user_id, ts_us AS state_ts_us FROM e
+                  WHERE event_type = 'signup')
+            SELECT l.user_id, l.ts_us, l.event_type, r.state_ts_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.state_ts_us
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -526,3 +526,83 @@ def sessionize(sf_dir: str):
         )
 
     return bucket_groupby(ev, ["user_id"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# as-of join — a custom temporal operator Ray Data lacks: each left event is
+# matched to the LATEST right event with right.ts <= left.ts for the same
+# key.  Physical plan: tag both sides, ONE hash-bucket exchange on the key,
+# per-bucket (key, ts, side)-sort + vectorized last-state carry-forward.
+# Partitioning assumption: all rows of a key share a bucket (hash-bucketed),
+# so the carry-forward never crosses a partition.
+# ---------------------------------------------------------------------------
+
+ASOF_STATE_TYPE = "signup"
+
+
+def asof_join_events(sf_dir: str):
+    """events (non-signup) ASOF LEFT JOIN events (signup) per user_id:
+    each event row gains the epoch-us timestamp of the user's most recent
+    signup at-or-before it (null when none yet)."""
+    import numpy as np
+
+    from ..stages.shuffle import bucket_groupby
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        is_state = pc.equal(b["event_type"], ASOF_STATE_TYPE)
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+                # state rows sort BEFORE left rows at equal ts, so an
+                # exactly-simultaneous state is visible to the left row
+                # (ASOF's <= semantics)
+                "side": pc.cast(pc.invert(is_state), pa.int8()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts_us", "ascending"),
+                       ("side", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "state_ts_us": pa.array([], pa.int64())})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        is_state = side == 0
+        # last-state carry-forward: index of the most recent state row at or
+        # before each position, reset at user boundaries
+        idx = np.arange(n)
+        marker = np.where(is_state, idx, -1)
+        marker[new_user & ~is_state] = -1
+        # segment-wise cummax that restarts at each user boundary
+        seg = np.cumsum(new_user) - 1
+        # offset trick: add a large per-segment base so cummax cannot leak
+        base = seg.astype(np.int64) * (n + 1)
+        carried = np.maximum.accumulate(np.where(marker >= 0, base + marker, base - 1))
+        state_idx = carried - base
+        left = ~is_state
+        out_state = np.where(state_idx[left] >= 0, ts[state_idx[left].clip(0)], -1)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[left], pa.int64()),
+                "ts_us": pa.array(ts[left], pa.int64()),
+                "event_type": t.filter(pa.array(left))["event_type"],
+                "state_ts_us": pc.if_else(
+                    pc.greater_equal(pa.array(out_state, pa.int64()), 0),
+                    pa.array(out_state, pa.int64()), pa.scalar(None, pa.int64())),
+            }
+        )
+
+    return bucket_groupby(ev.map_batches(tag, batch_format="pyarrow"),
+                          ["user_id"], per_bucket)
