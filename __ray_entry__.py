@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": R.tumbling_window,    # windowed aggregate
         "sessionize": R.sessionize,              # gap-based sessionization
         "asof_join": R.asof_join_events,         # temporal as-of join
+        "range_join": R.range_join_events,       # interval-containment join
         # --- training-data text ops ---
         "dedup_exact": T.dedup_exact,
         "dedup_normalized": T.dedup_normalized,
@@ -424,6 +425,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.ts_us, l.event_type, r.state_ts_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts_us >= r.state_ts_us
+        """,
+        "range_join": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            l AS (SELECT DISTINCT user_id, ts_us FROM e),
+            w AS (SELECT user_id, ts_us - 3600000000 AS ws,
+                         ts_us + 3600000000 AS we
+                  FROM e WHERE event_type = 'error')
+            SELECT l.user_id, l.ts_us, count(w.ws) AS n_windows
+            FROM l LEFT JOIN w
+              ON l.user_id = w.user_id AND l.ts_us BETWEEN w.ws AND w.we
+            GROUP BY l.user_id, l.ts_us
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -606,3 +606,67 @@ def asof_join_events(sf_dir: str):
 
     return bucket_groupby(ev.map_batches(tag, batch_format="pyarrow"),
                           ["user_id"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# range (interval-containment) join — the third temporal custom op: count,
+# per distinct event instant, the error windows [t-1h, t+1h] of the same
+# user covering it.  Same bucket-exchange shape as asof_join; the per-user
+# interval counting is two searchsorted calls (count(start <= t) minus
+# count(end < t)), never a pairwise materialization.
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 3_600_000_000  # +/- 1 hour
+RANGE_STATE_TYPE = "error"
+
+
+def range_join_events(sf_dir: str):
+    import numpy as np
+
+    from ..stages.shuffle import bucket_groupby
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "is_win": pc.cast(
+                    pc.equal(b["event_type"], RANGE_STATE_TYPE), pa.int8()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        is_win = t["is_win"].to_numpy(zero_copy_only=False).astype(bool)
+        out_u, out_t, out_n = [], [], []
+        n = len(uid)
+        start = 0
+        for end in range(1, n + 1):
+            if end < n and uid[end] == uid[start]:
+                continue
+            seg_ts = ts[start:end]
+            wins = seg_ts[is_win[start:end]]
+            lefts = np.unique(seg_ts)
+            ws = np.sort(wins - RANGE_WINDOW_US)
+            we = np.sort(wins + RANGE_WINDOW_US)
+            cover = (np.searchsorted(ws, lefts, side="right")
+                     - np.searchsorted(we, lefts, side="left"))
+            out_u.append(np.full(len(lefts), uid[start], dtype=np.int64))
+            out_t.append(lefts)
+            out_n.append(cover.astype(np.int64))
+            start = end
+        cat = lambda p: np.concatenate(p) if p else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(cat(out_u), pa.int64()),
+                "ts_us": pa.array(cat(out_t), pa.int64()),
+                "n_windows": pa.array(cat(out_n), pa.int64()),
+            }
+        )
+
+    return bucket_groupby(ev.map_batches(tag, batch_format="pyarrow"),
+                          ["user_id"], per_bucket)
