@@ -57,6 +57,12 @@ _MH_B = _RNG.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
 
 _TOKEN_RE = re.compile(r"\s+")
 
+# touch the BLAS gemm path at import so each Ray worker pays its one-time
+# library/thread-buffer initialization at module load, not inside the first
+# (often the largest) verify task — measured ~6 s of first-call overhead on
+# the giant-bucket straggler task
+_ = np.ones((4, 4), dtype=np.float32) @ np.ones((4, 4), dtype=np.float32)
+
 # token -> full 64-bit blake2b hash, memoized per worker process: token
 # vocabulary repeats heavily across documents (and overwhelmingly so across
 # near-duplicates), so the per-token digest cost amortizes to ~zero after
@@ -365,8 +371,12 @@ def _verify_one_band_bucket(ids, toks, pre_mat, band, rows_per_band):
             continue
         if sizes is None:
             sizes = np.array([len(t) for t in toks], dtype=np.int64)
-        # survivors are ~all pairs in band 0 but rare later: batch vs per-pair
-        if inter_full is None and len(xi) > (i1 - i0) * m // 8:
+        # survivors are ~all pairs in band 0 but rare later: batch vs
+        # per-pair.  The absolute trigger matters: a giant cluster whose
+        # pairs survive in a LATER band (~11% of m²) must also take the
+        # matmul — 300k np.intersect1d calls in one task was the measured
+        # 20 s bench straggler.
+        if inter_full is None and len(xi) > 4096:
             inter_full, sizes = _incidence_inter(toks)
         if inter_full is not None:
             inter = inter_full[xi, yi].astype(np.int64)
