@@ -28,6 +28,7 @@ HEADLINE = [
     "hash_join_agg",
     "topk_orders",
     "salted_groupby",
+    "sessionize",
     "dedup_normalized",
     "minhash_lsh",
     "knn_brute",
