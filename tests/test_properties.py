@@ -198,3 +198,67 @@ def test_ttl_roundtrip_property(triples):
     from kgray.kernels.ttl import parse_ttl, serialize_ttl
 
     assert parse_ttl(serialize_ttl(triples)) == triples
+
+
+# ---------------------------------------------------------------------------
+# fast-path HTML tokenizer ≡ html.parser tree on everything it accepts
+# ---------------------------------------------------------------------------
+
+def _merge_text(node):
+    from kgray.kernels.htmltext import Node
+
+    if isinstance(node, str):
+        return node
+    merged = []
+    for c in node.children:
+        c = _merge_text(c)
+        if isinstance(c, str) and merged and isinstance(merged[-1], str):
+            merged[-1] += c
+        else:
+            merged.append(c)
+    node.children = merged
+    return node
+
+
+def _tree_eq(a, b):
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    return (a.tag == b.tag and a.attrs == b.attrs
+            and len(a.children) == len(b.children)
+            and all(_tree_eq(x, y) for x, y in zip(a.children, b.children)))
+
+
+def test_fast_parser_equals_htmlparser_on_fixture_corpus():
+    from kgray.fixtures import gen_page
+    from kgray.kernels.htmltext import _FastPathBail, _TreeBuilder, _parse_html_fast
+
+    fast_hits = 0
+    for i in range(120):
+        html = gen_page(i, richness=1 + i % 4)["html"].decode()
+        try:
+            f = _parse_html_fast(html)
+            fast_hits += 1
+        except _FastPathBail:
+            continue
+        b = _TreeBuilder()
+        b.feed(html)
+        b.close()
+        assert _tree_eq(_merge_text(f), _merge_text(b.root)), f"page {i}"
+    assert fast_hits == 120  # the fixture corpus must take the fast path
+
+
+@settings(max_examples=120, deadline=None)
+@given(_html_text)
+def test_fast_parser_never_diverges(s):
+    """On arbitrary text the fast path either bails or produces the exact
+    html.parser tree."""
+    from kgray.kernels.htmltext import _FastPathBail, _TreeBuilder, _parse_html_fast
+
+    try:
+        f = _parse_html_fast(s)
+    except _FastPathBail:
+        return
+    b = _TreeBuilder()
+    b.feed(s)
+    b.close()
+    assert _tree_eq(_merge_text(f), _merge_text(b.root))
