@@ -251,35 +251,37 @@ def _token_sets(texts: list[str]) -> list[set]:
 
 
 def ngram_jaccard_pairs(sf_dir: str):
+    """Per-group pairwise verify runs on the SAME vectorized machinery as
+    the LSH verify: sorted token-hash arrays, np.unique local vocab, ONE
+    incidence matmul per group — no Python set ops, so a large metadata
+    bucket costs one BLAS call instead of O(b²) interpreter work (the r1
+    scale-weakness note on this operator).  Integer (inter, union) counts
+    are emitted rather than a rounded float: Python round() is
+    half-to-even, DuckDB ROUND is half-away — exact dyadic ratios would
+    hash-mismatch."""
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        toks = _token_sets(group["text"].to_pylist())
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        a_ids, b_ids, inters, unions = [], [], [], []
-        for x in range(len(order)):
-            i = order[x]
-            for y in range(x + 1, len(order)):
-                j = order[y]
-                inter = len(toks[i] & toks[j])
-                if not inter:
-                    continue
-                uni = len(toks[i] | toks[j])
-                # integer counts, not a rounded float: Python round() is
-                # half-to-even, DuckDB ROUND is half-away — exact dyadic
-                # ratios (e.g. 17/32) would hash-mismatch.
-                if inter / uni >= JACCARD_THRESHOLD:
-                    a_ids.append(ids[i])
-                    b_ids.append(ids[j])
-                    inters.append(inter)
-                    unions.append(uni)
+        order = np.argsort(
+            np.asarray(group["doc_id"].to_pylist(), dtype=np.int64), kind="stable"
+        )
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)[order]
+        texts = group["text"].to_pylist()
+        toks = [_token_hashes(s) for s in _token_sets(texts)]
+        toks = [toks[i] for i in order]
+        inter, sizes = _incidence_inter(toks)
+        m = len(ids)
+        xi, yi = np.triu_indices(m, 1)
+        iv = inter[xi, yi].astype(np.int64)
+        uni = sizes[xi] + sizes[yi] - iv
+        ok = iv > 0
+        ok[ok] = (iv[ok] / uni[ok]) >= JACCARD_THRESHOLD
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(a_ids, pa.int64()),
-                "doc_b": pa.array(b_ids, pa.int64()),
-                "inter_cnt": pa.array(inters, pa.int64()),
-                "union_cnt": pa.array(unions, pa.int64()),
+                "doc_a": pa.array(ids[xi[ok]], pa.int64()),
+                "doc_b": pa.array(ids[yi[ok]], pa.int64()),
+                "inter_cnt": pa.array(iv[ok], pa.int64()),
+                "union_cnt": pa.array(uni[ok], pa.int64()),
             }
         )
 
