@@ -106,7 +106,7 @@ def _kg_diff(sf_dir: str):
     split into an 'old' and a 'new' snapshot by page revision parity, and
     the diff emits INSERT (new-only) / DELETE (old-only) ops — the
     distributed ttl_compare.diff_ttls analog (SURVEY.md §2.4/§2.7)."""
-    import tempfile
+    import shutil
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -116,8 +116,13 @@ def _kg_diff(sf_dir: str):
 
     # One pipeline run feeds both sides via parquet, NOT .materialize():
     # pinning the full ops dataset in the object store to fan out twice is
-    # the wrong shape at scale — write once, stream two cheap reads.
-    spill = tempfile.mkdtemp(prefix="kg_diff_ops_", dir="/tmp")
+    # the wrong shape at scale — write once, stream two cheap reads.  The
+    # spill dir is deterministic per scale and cleared per call so /tmp
+    # usage stays bounded at one copy per scale.
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    spill = f"/tmp/kgray_spill/kg_diff-{tag}"
+    shutil.rmtree(spill, ignore_errors=True)
+    os.makedirs(spill, exist_ok=True)
     _kg_ops(sf_dir).write_parquet(spill)
     ops = rd.read_parquet(spill)
 

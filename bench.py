@@ -102,8 +102,12 @@ def _single_run(num_cpus: int, pages: int | None = None,
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"--single {num_cpus} produced no result (rc={out.returncode}); "
+            f"stderr tail: {out.stderr.strip()[-500:]!r}")
+    return json.loads(lines[-1])
 
 
 def _scaling_sample() -> dict:

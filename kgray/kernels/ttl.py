@@ -106,6 +106,8 @@ def parse_ttl(text: str) -> list[tuple[str, str, str, str, str, str]]:
     ``obj_type`` is 'iri' or 'literal'; lang/datatype are '' when absent
     (the flat-columns convention of schema.TRIPLES).
     """
+    if '"""' in text or "'''" in text:
+        raise TTLParseError("triple-quoted (long) literals are unsupported")
     text = encode_bce(_strip_comments(text))
     prefixes: dict[str, str] = {}  # doc-local @prefix decls, uri -> prefix
     triples: list[tuple[str, str, str, str, str, str]] = []
@@ -153,15 +155,17 @@ def parse_ttl(text: str) -> list[tuple[str, str, str, str, str, str]]:
 
         if kind == "punct":
             if tok == ".":
+                if expect != "punct":
+                    raise TTLParseError("'.' before any object")
                 subj = pred = None
                 expect = "subj"
             elif tok == ";":
-                if subj is None:
-                    raise TTLParseError("';' with no subject")
+                if subj is None or expect != "punct":
+                    raise TTLParseError("';' outside a statement")
                 expect = "pred"
             elif tok == ",":
-                if pred is None:
-                    raise TTLParseError("',' with no predicate")
+                if pred is None or expect != "punct":
+                    raise TTLParseError("',' outside an object list")
                 expect = "obj"
             else:
                 raise TTLParseError(f"unsupported Turtle construct: {tok!r}")
@@ -190,6 +194,9 @@ def parse_ttl(text: str) -> list[tuple[str, str, str, str, str, str]]:
             continue
 
         # object position
+        if expect != "obj":
+            raise TTLParseError(
+                f"unexpected term {tok!r} (missing ',', ';' or '.')")
         if kind == "literal":
             body = _STRING_RE.match(tok)
             val = decode_bce(_unescape(body.group()[1:-1]))
@@ -212,7 +219,7 @@ def parse_ttl(text: str) -> list[tuple[str, str, str, str, str, str]]:
             triples.append((subj, pred, obj, "iri", "", ""))
         else:
             raise TTLParseError(f"bad object: {tok!r}")
-        expect = "obj"  # a ',' may follow; ';'/'.' reset via punct
+        expect = "punct"  # only ',' / ';' / '.' may follow an object
 
     if subj is not None or expect != "subj":
         raise TTLParseError(f"truncated statement (state={expect})")

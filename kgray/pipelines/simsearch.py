@@ -98,7 +98,13 @@ class _TopkScorer:
     def __init__(self, q_ref, k: int, probe_ref=None):
         self.qids, self.qn = ray.get(q_ref)
         self.k = k
-        self.probe = ray.get(probe_ref) if probe_ref is not None else None
+        probe = ray.get(probe_ref) if probe_ref is not None else None
+        # probe sets -> sorted arrays ONCE per actor (not per batch)
+        self.probe = (
+            {int(q): np.array(sorted(s), dtype=np.int64)
+             for q, s in probe.items()}
+            if probe is not None else None
+        )
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
@@ -112,7 +118,7 @@ class _TopkScorer:
             col = sims[:, j]
             mask = ids != qid  # exclude self
             if clusters is not None:
-                mask &= np.isin(clusters, list(self.probe[int(qid)]))
+                mask &= np.isin(clusters, self.probe[int(qid)])
             cand = np.flatnonzero(mask)
             if not len(cand):
                 continue
@@ -183,6 +189,12 @@ def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
     cent_path = os.path.join(out, "centroids.npy")
     if os.path.exists(marker) and os.path.exists(cent_path):
         return out, np.load(cent_path)
+    if os.path.exists(out):
+        # no completion marker => debris from an interrupted build; a
+        # rebuild into the same dir would append a second copy of every row
+        import shutil
+
+        shutil.rmtree(out)
 
     sample = np.array(
         list(_read(sf_dir).limit(_TRAIN_SAMPLE).to_pandas()["embedding"]),
@@ -277,9 +289,14 @@ def knn_ivf(sf_dir: str):
 
 @ray.remote
 def _score_block_pair(path_a: str, path_b: str, threshold: float) -> pa.Table:
-    """Score one block pair: (len_a x len_b) cosine matmul, keep id_a < id_b
-    pairs at/above threshold.  Each unordered id pair appears in exactly one
-    unordered block pair, and the id_a < id_b guard orients it once."""
+    """Score one block pair: (len_a x len_b) cosine matmul.
+
+    Each unordered id pair appears in exactly one unordered block pair, so
+    a cross-block pair keeps EVERY above-threshold cell and orients it as
+    (min id, max id) — an id-order guard here would silently drop pairs
+    whenever block order and id order disagree.  Only the diagonal block
+    (where each pair occupies two mirrored cells plus the self diagonal)
+    restricts to the index upper triangle."""
     ta = pq.read_table(path_a, columns=["vec_id", "embedding"])
     ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
     ma = _normalize(np.array(ta["embedding"].to_pylist(), dtype=np.float64))
@@ -290,12 +307,17 @@ def _score_block_pair(path_a: str, path_b: str, threshold: float) -> pa.Table:
         ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
         mb = _normalize(np.array(tb["embedding"].to_pylist(), dtype=np.float64))
     sims = ma @ mb.T
-    keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+    keep = sims >= threshold
+    if path_b == path_a:
+        keep &= np.arange(len(ids_a))[:, None] < np.arange(len(ids_b))[None, :]
+    else:
+        keep &= ids_a[:, None] != ids_b[None, :]  # duplicate-id safety
     ri, ci = np.nonzero(keep)
+    ia, ib = ids_a[ri].astype(np.int64), ids_b[ci].astype(np.int64)
     return pa.Table.from_pydict(
         {
-            "vec_a": pa.array(ids_a[ri].astype(np.int64), pa.int64()),
-            "vec_b": pa.array(ids_b[ci].astype(np.int64), pa.int64()),
+            "vec_a": pa.array(np.minimum(ia, ib), pa.int64()),
+            "vec_b": pa.array(np.maximum(ia, ib), pa.int64()),
             "sim": pa.array(np.round(sims[ri, ci], 4), pa.float64()),
         }
     )
@@ -309,9 +331,16 @@ def neardup_cosine(sf_dir: str):
     blocks.  Nothing is materialized on the driver and no full matrix is
     broadcast (the previous driver-side ``to_pandas`` baseline was the
     acknowledged scale-killer; VERDICT r1 "what's wrong" #2)."""
-    import tempfile
+    import shutil
 
-    blocks_dir = tempfile.mkdtemp(prefix="kgray_neardup_", dir="/tmp")
+    # deterministic per-scale spill dir, cleared and rewritten per call:
+    # bounded /tmp usage (one copy per scale) instead of an accumulating
+    # mkdtemp per invocation.  Concurrent calls on the SAME scale would
+    # race; callers own that serialization.
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    blocks_dir = f"/tmp/kgray_spill/neardup-{tag}"
+    shutil.rmtree(blocks_dir, ignore_errors=True)
+    os.makedirs(blocks_dir, exist_ok=True)
     _read(sf_dir).repartition(NEARDUP_BLOCKS).write_parquet(blocks_dir)
     files = sorted(_glob.glob(os.path.join(blocks_dir, "*.parquet")))
     refs = [

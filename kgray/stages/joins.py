@@ -86,27 +86,13 @@ def distinct_keys(ds, key: str):
     return ds.map_batches(local, batch_format="pyarrow")
 
 
-def default_join_partitions() -> int:
-    """Hash-exchange width: ~cluster cores (cap 256 so the tiny testdata
-    joins don't fragment into confetti).  At 100 TB callers should pass an
-    explicit value sized to data volume / target partition bytes."""
-    try:
-        import ray
-
-        if ray.is_initialized():
-            return min(256, max(8, int(ray.cluster_resources().get("CPU", 8))))
-    except Exception:
-        pass
-    return 8
-
-
 def hash_semi_join(left, right, *, on: str, num_partitions: int = 8):
     """Rows of ``left`` whose key appears in ``right`` (one hash exchange).
 
     ``num_partitions`` defaults small for test-scale tables (a 32-way
     exchange of 100k rows is per-partition overhead, measured 4x slower in
-    the bench); size it with :func:`default_join_partitions` or data volume
-    at cluster scale."""
+    the bench); at cluster scale pass a value sized to data volume /
+    target partition bytes (≈ several × cluster cores)."""
     return left.join(distinct_keys(right, on), join_type="left_semi",
                      num_partitions=num_partitions, on=(on,))
 

@@ -37,14 +37,30 @@ def test_ivf_reads_minority_of_corpus(ray_session):
 
 
 def test_neardup_block_pairs_match_singleblock(ray_session):
-    """Exactness: block-pair fan-out emits the same pair set regardless of
-    block count (every unordered pair scored exactly once)."""
+    """Exactness: the block-pair fan-out must emit exactly the brute-force
+    O(n²) pair set — a wrong cross-block orientation guard would silently
+    DROP pairs without producing duplicates, so shape checks alone are not
+    enough."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
     from kgray.pipelines import simsearch as S
 
     df = S.neardup_cosine(SF_DIR).to_pandas().sort_values(
         ["vec_a", "vec_b"], ignore_index=True)
     assert (df["vec_a"] < df["vec_b"]).all()
     assert not df.duplicated(["vec_a", "vec_b"]).any()
+
+    t = pq.read_table(SF_DIR + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = S._normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    sims = m @ m.T
+    ri, ci = np.nonzero(sims >= S.NEARDUP_SIM)
+    expected = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+                for a, b in zip(ri, ci) if ids[a] != ids[b]}
+    got = set(zip(df["vec_a"], df["vec_b"]))
+    assert got == expected
 
 
 def test_brute_topk_shape(ray_session):

@@ -121,3 +121,28 @@ class TestDistributedDiff:
 
     def test_no_change(self, ray_session):
         assert self._diff_commands(ray_session, OLD_TTL, OLD_TTL) == []
+
+
+class TestParseStrictness:
+    """Malformed input must raise, never silently mis-parse (the module's
+    design contract vs the reference's bare-except silent drops)."""
+
+    def test_missing_separator_between_objects(self):
+        from kgray.kernels.ttl import TTLParseError, parse_ttl
+
+        with pytest.raises(TTLParseError):
+            parse_ttl("wd:Q1 wdt:P1 wd:Q2 wd:Q3 .")
+
+    def test_triple_quoted_literal_rejected(self):
+        from kgray.kernels.ttl import TTLParseError, parse_ttl
+
+        with pytest.raises(TTLParseError):
+            parse_ttl('wd:Q1 wdt:P1 """long\ntext""" .')
+
+    def test_punct_without_object(self):
+        from kgray.kernels.ttl import TTLParseError, parse_ttl
+
+        with pytest.raises(TTLParseError):
+            parse_ttl("wd:Q1 wdt:P1 ; wdt:P2 .")
+        with pytest.raises(TTLParseError):
+            parse_ttl("wd:Q1 wdt:P1 , wd:Q2 .")
