@@ -288,8 +288,7 @@ def oracle_sql() -> dict[str, str]:
     kg_raw = f"""
         SELECT * FROM read_parquet('{raw_glob}')
         WHERE n_pages = (SELECT CASE count(*) WHEN 1500 THEN 240
-                                WHEN 15000 THEN 1200 WHEN 150000 THEN 6000
-                                ELSE 240 END
+                                WHEN 15000 THEN 1200 ELSE 240 END
                          FROM orders)
     """
     # canonicalize restated: one surviving row per triple key, survivor =
