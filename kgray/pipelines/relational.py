@@ -87,11 +87,19 @@ def filter_regex(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def window_agg(sf_dir: str):
+    import pyarrow.dataset as pads
     from ray.data.aggregate import Count, Sum
 
-    ev = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+    # window predicate pushed to the SCAN: row groups wholly outside the
+    # window never leave storage ("prune at the read")
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+        filter=(pads.field("ts") >= WINDOW_START) & (pads.field("ts") < WINDOW_END),
+    )
 
     def in_window(b: pa.Table) -> pa.Table:
+        # residual filter: pushdown prunes at row-group granularity only
         mask = pc.and_(
             pc.greater_equal(b["ts"], pa.scalar(WINDOW_START, pa.timestamp("us"))),
             pc.less(b["ts"], pa.scalar(WINDOW_END, pa.timestamp("us"))),

@@ -71,10 +71,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Query matrix: the vec_id < N_QUERIES rows (small, driver-side)."""
+    """Query matrix: the vec_id < N_QUERIES rows (small, driver-side);
+    the predicate is pushed to the parquet scan so the full embeddings
+    table is never read just to pick N query rows."""
+    import pyarrow.dataset as pads
+
     t = (
-        _read(sf_dir)
-        .filter(expr=f"vec_id < {N_QUERIES}")
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id") < N_QUERIES,
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
