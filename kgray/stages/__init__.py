@@ -8,7 +8,9 @@ from .canonicalize import canonicalize_stage
 from .diff import diff_snapshots
 from .joins import broadcast_join, hash_anti_join, hash_semi_join
 from .materialize import materialize_stage
-from .serialize import serialize_stage
+from .serialize import console_sink, serialize_stage
+from .shuffle import bucket_groupby
+from .ttl import parse_ttl_stage
 
 __all__ = [
     "extract_stage",
@@ -21,4 +23,7 @@ __all__ = [
     "hash_semi_join",
     "materialize_stage",
     "serialize_stage",
+    "console_sink",
+    "bucket_groupby",
+    "parse_ttl_stage",
 ]
