@@ -161,6 +161,11 @@ def main() -> None:
 
     ray.shutdown()  # the scaling subprocesses own their own sessions
     if os.environ.get("KGRAY_BENCH_SCALING", "1") != "0":
+        # crash-safety: emit the headline record FIRST so a harness timeout
+        # during the multi-minute scaling sample still leaves a parseable
+        # result line; on normal completion the LAST line is the full
+        # record including the scaling block
+        print(json.dumps(result), flush=True)
         result["scaling"] = _scaling_sample()
     print(json.dumps(result))
 
