@@ -282,13 +282,16 @@ def oracle_sql() -> dict[str, str]:
 
     # corpus selector: the SQL gets no sf parameter, so the right cached
     # corpus is picked by the registered views' own row count (orders is
-    # 1500 / 15000 / 150000 at sf0.001 / 0.01 / 0.1 -> 240 / 1200 / 6000
-    # pages) and the n_pages column stamped into every raw-ops row.
+    # 1500 / 15000 at sf0.001 / 0.01 -> 240 / 1200 pages) and the n_pages
+    # column stamped into every raw-ops row.  The kg_* oracles are only
+    # valid at sf0.001 / sf0.01; any other scale maps to the impossible
+    # sentinel -1 so the oracle comes back EMPTY and fails loudly instead
+    # of silently comparing against the wrong corpus.
     raw_glob = f"{_CORPUS_ROOT}/*/{RAW_DIRNAME}/raw-*.parquet"
     kg_raw = f"""
         SELECT * FROM read_parquet('{raw_glob}')
         WHERE n_pages = (SELECT CASE count(*) WHEN 1500 THEN 240
-                                WHEN 15000 THEN 1200 ELSE 240 END
+                                WHEN 15000 THEN 1200 ELSE -1 END
                          FROM orders)
     """
     # canonicalize restated: one surviving row per triple key, survivor =
@@ -413,8 +416,9 @@ def oracle_sql() -> dict[str, str]:
                               > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
                   FROM e),
             s AS (SELECT user_id, ts_us,
-                    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
-                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                             ROWS UNBOUNDED PRECEDING) - 1
+                         AS BIGINT) AS session_id
                   FROM d)
             SELECT user_id, session_id, min(ts_us) AS session_start_us,
                    max(ts_us) AS session_end_us, count(*) AS n_events
@@ -581,7 +585,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity, subj, pred, obj, obj_type, lang, datatype
             FROM read_parquet('{_CORPUS_ROOT}/*/{TTL_DIRNAME}/ttl_expected.parquet')
             WHERE n_pages = (SELECT CASE count(*) WHEN 1500 THEN 240
-                                    WHEN 15000 THEN 1200 ELSE 240 END
+                                    WHEN 15000 THEN 1200 ELSE -1 END
                              FROM orders)
         """,
     }

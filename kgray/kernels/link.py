@@ -86,12 +86,22 @@ class SurfaceMatcher:
             self.first_words.add(toks[0])
             lengths.add(len(toks))
         self.lengths = sorted(lengths)
+        # The alternation sits inside a LOOKAHEAD so candidate generation
+        # never consumes text: a plain finditer would hide overlapping
+        # fallback occurrences behind an earlier fallback match that the
+        # merged greedy sweep later rejects (e.g. surfaces 'b-c-' and 'c--'
+        # on 'a-b-c---d': the consuming scan eats 'b-c-' and never emits
+        # 'c--', which the combined longest-first regex WOULD select).
+        # The zero-width scan emits, at every boundary-valid position, the
+        # longest matching fallback surface — exactly the candidate the
+        # original single-alternation finditer could pick there — and the
+        # sweep below restates finditer selection globally.
         self.fallback_re = (
             re.compile(
-                r"(?<![\w])("
+                r"(?<![\w])(?=("
                 + "|".join(sorted((re.escape(s) for s in fallback),
                                   key=len, reverse=True))
-                + r")(?![\w])"
+                + r")(?![\w]))"
             )
             if fallback
             else None

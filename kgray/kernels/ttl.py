@@ -92,10 +92,17 @@ def _strip_comments(text: str) -> str:
 
 
 def _compact_term(iri: str, prefixes: dict[str, str]) -> str:
-    """<iri> body -> prefixed name when a namespace is known, else <iri>."""
-    for ns, p in prefixes.items():
+    """<iri> body -> prefixed name when a namespace is known, else <iri>.
+
+    Doc-declared prefixes are tried LONGEST-namespace-first (matching
+    compact_uri's longest-prefix rule and the reference's table order):
+    declaration-order first-startswith-wins would compact
+    <.../prop/statement/P31> to 'p:statement/P31' whenever '@prefix p:'
+    precedes '@prefix ps:', giving the same predicate two spellings and
+    breaking dedup/diff keys."""
+    for ns in sorted(prefixes, key=len, reverse=True):
         if iri.startswith(ns):
-            return f"{p}:{iri[len(ns):]}"
+            return f"{prefixes[ns]}:{iri[len(ns):]}"
     c = compact_uri(iri)
     return c if c != iri else f"<{iri}>"
 

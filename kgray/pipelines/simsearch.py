@@ -180,8 +180,15 @@ def train_centroids(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
+    """Cache dir keyed by scale tag, cluster count, codec version AND a
+    content fingerprint of the source parquet (row count + file size +
+    mtime): regenerating embeddings.parquet at the same path invalidates
+    the cached index instead of serving stale vec_ids/geometry."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_IVF_ROOT, f"{tag}-k{IVF_CLUSTERS}-{_IVF_VERSION}")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{pq.read_metadata(src).num_rows}-{st.st_size}-{int(st.st_mtime)}"
+    return os.path.join(_IVF_ROOT, f"{tag}-k{IVF_CLUSTERS}-{_IVF_VERSION}-{fp}")
 
 
 def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:

@@ -54,10 +54,19 @@ def broadcast_join(facts, dim, *, on: str, right_on: str | None = None,
         every block has an identical schema."""
 
         def __init__(self):
-            import pyarrow.compute as pc  # noqa: F401 (bind per-actor)
+            import pyarrow.compute as pc
 
             self.dim: pa.Table = ray.get(dim_ref).combine_chunks()
             self.key_col = self.dim[right_on]
+            # pc.index_in returns the FIRST matching dim row; a dim with
+            # duplicate keys would silently join arbitrary values — fail
+            # loudly instead (small table by contract, so this is cheap)
+            n_unique = len(pc.unique(self.key_col))
+            if n_unique != len(self.dim):
+                raise ValueError(
+                    f"broadcast_join dim has duplicate '{right_on}' keys "
+                    f"({len(self.dim)} rows, {n_unique} distinct)"
+                )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

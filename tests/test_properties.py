@@ -262,3 +262,19 @@ def test_fast_parser_never_diverges(s):
     b.feed(s)
     b.close()
     assert _tree_eq(_merge_text(f), _merge_text(b.root))
+
+
+def test_surface_matcher_fallback_overlap_regression():
+    """ADVICE r2 counterexample: a consumed fallback match must not hide an
+    overlapping fallback candidate that the merged sweep would select."""
+    import re
+
+    from kgray.kernels.link import SurfaceMatcher
+
+    surfaces = ["a-b", "b-c-", "c--"]
+    text = "a-b-c---d"
+    parts = sorted((re.escape(s) for s in surfaces), key=len, reverse=True)
+    pat = re.compile(r"(?<![\w])(" + "|".join(parts) + r")(?![\w])")
+    expected = [(m.group(1), m.start(1), m.end(1)) for m in pat.finditer(text)]
+    assert expected == [("a-b", 0, 3), ("c--", 4, 7)]
+    assert SurfaceMatcher(surfaces).find(text) == expected

@@ -146,3 +146,43 @@ class TestParseStrictness:
             parse_ttl("wd:Q1 wdt:P1 ; wdt:P2 .")
         with pytest.raises(TTLParseError):
             parse_ttl("wd:Q1 wdt:P1 , wd:Q2 .")
+
+
+class TestPrefixCompaction:
+    """Doc-declared prefixes must compact longest-namespace-first, matching
+    compact_uri's longest-prefix rule — declaration order must not matter
+    (ADVICE r2: 'p:' declared before 'ps:' produced 'p:statement/P31')."""
+
+    def test_longest_prefix_wins_regardless_of_declaration_order(self):
+        from kgray.kernels.ttl import parse_ttl
+
+        for decls in (
+            "@prefix p: <http://www.wikidata.org/prop/> .\n"
+            "@prefix ps: <http://www.wikidata.org/prop/statement/> .\n",
+            "@prefix ps: <http://www.wikidata.org/prop/statement/> .\n"
+            "@prefix p: <http://www.wikidata.org/prop/> .\n",
+        ):
+            doc = decls + (
+                "<http://www.wikidata.org/entity/Q1> "
+                "<http://www.wikidata.org/prop/statement/P31> "
+                "<http://www.wikidata.org/prop/P31> .\n"
+            )
+            triples = parse_ttl(doc)
+            assert triples == [("wd:Q1", "ps:P31", "p:P31", "iri", "", "")]
+
+    def test_full_iri_and_pname_spell_identically(self):
+        """Real dump TTL mixes full IRIs and pnames for the same predicate;
+        both spellings must land on one canonical string or dedup/diff keys
+        split."""
+        from kgray.kernels.ttl import parse_ttl
+
+        doc = (
+            "@prefix p: <http://www.wikidata.org/prop/> .\n"
+            "@prefix ps: <http://www.wikidata.org/prop/statement/> .\n"
+            "<http://www.wikidata.org/entity/Q1> ps:P31 <http://www.wikidata.org/entity/Q5> .\n"
+            "<http://www.wikidata.org/entity/Q1> "
+            "<http://www.wikidata.org/prop/statement/P31> "
+            "<http://www.wikidata.org/entity/Q5> .\n"
+        )
+        t = parse_ttl(doc)
+        assert t[0] == t[1]
