@@ -281,3 +281,95 @@ class TestConfigValidation:
             RunWindow.from_args("2024-01-02 00:00:00", "2024-01-01 00:00:00")
         with pytest.raises(ConfigError):
             RunWindow.from_args("01/02/2024", None)
+
+
+class TestVectorizedSerializer:
+    """serialize_batch's pc-kernel fast path must be byte-identical to the
+    scalar reference kernels (format_object/triple_to_command) on every
+    input — canonical stored-form rows AND invariant violators that take
+    the per-row fallback."""
+
+    def _expected(self, rows):
+        from kgray.kernels.rdf import format_object, triple_to_command
+
+        return [
+            triple_to_command(
+                r["op"], r["subj"], r["pred"],
+                format_object(r["obj"], r["obj_type"], r["lang"] or None,
+                              r["datatype"] or None))
+            for r in rows
+        ]
+
+    def _run(self, rows):
+        import pyarrow as pa
+
+        from kgray.stages.serialize import serialize_batch
+
+        t = pa.Table.from_pylist(rows)
+        return serialize_batch(t)["command"].to_pylist()
+
+    def test_fixture_corpus_equivalence(self):
+        """Every row of the 120-page fixture raw-ops table (all datavalue
+        types, BCE dates, quotes, lang tags, qualifiers/references)."""
+        from kgray.fixtures import gen_pages_table, raw_ops_table
+
+        raw = raw_ops_table(gen_pages_table(120))
+        rows = raw.select(
+            ["op", "subj", "pred", "obj", "obj_type", "lang", "datatype"]
+        ).to_pylist()
+        assert self._run(rows) == self._expected(rows)
+
+    def test_slow_path_rows(self):
+        base = dict(op="INSERT", lang="", datatype="")
+        rows = [
+            # full-http subject (compacts)
+            dict(base, subj="http://www.wikidata.org/entity/Q1",
+                 pred="wdt:P31", obj="wd:Q5", obj_type="iri"),
+            # full-http predicate
+            dict(base, subj="wd:Q1",
+                 pred="http://www.wikidata.org/prop/direct/P31",
+                 obj="wd:Q5", obj_type="iri"),
+            # bracketed KNOWN-namespace iri object (compacts)
+            dict(base, subj="wd:Q1", pred="wdt:P31",
+                 obj="<http://www.wikidata.org/entity/Q5>", obj_type="iri"),
+            # bracketed unknown iri (fast path, stays bracketed)
+            dict(base, subj="wd:Q1", pred="wdt:P856",
+                 obj="<http://example.org/x>", obj_type="iri"),
+            # bare non-prefixed non-http "iri" (scalar kernel quotes it)
+            dict(base, subj="wd:Q1", pred="wdt:P856",
+                 obj="not-an-iri", obj_type="iri"),
+            # unknown full-uri datatype (compacts to xsd:)
+            dict(base, subj="wd:Q1", pred="ps:P569",
+                 obj="2020-01-01T00:00:00+00:00", obj_type="literal",
+                 datatype="http://www.w3.org/2001/XMLSchema#dateTime"),
+            # known prefixed datatype (fast path) with tz fix + escape
+            dict(base, subj="wd:Q1", pred="ps:P569",
+                 obj='say "hi" at 2020-01-01T00:00:00+00:00',
+                 obj_type="literal", datatype="xsd:dateTime"),
+            # lang wins over datatype
+            dict(base, subj="wd:Q1", pred="rdfs:label", obj='quoted "x"',
+                 obj_type="literal", lang="pt-BR", datatype="xsd:string"),
+            # rdf:type in full-uri form renders as 'a'
+            dict(base, subj="wd:Q1",
+                 pred="http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                 obj="wd:Q5", obj_type="iri"),
+            # blank node object
+            dict(base, subj="wd:Q1", pred="prov:wasDerivedFrom", obj="_:b0",
+                 obj_type="iri"),
+            # DELETE op, plain literal
+            dict(op="DELETE", subj="wd:Q1", pred="rdfs:label", obj="plain",
+                 obj_type="literal", lang="", datatype=""),
+        ]
+        assert self._run(rows) == self._expected(rows)
+
+    def test_empty_batch(self):
+        import pyarrow as pa
+
+        from kgray.stages.serialize import serialize_batch
+
+        t = pa.Table.from_pydict(
+            {c: pa.array([], pa.string())
+             for c in ("op", "subj", "pred", "obj", "obj_type", "lang", "datatype")}
+        )
+        out = serialize_batch(t)
+        assert out.num_rows == 0 and out.column_names == ["command"]

@@ -278,3 +278,30 @@ def test_surface_matcher_fallback_overlap_regression():
     expected = [(m.group(1), m.start(1), m.end(1)) for m in pat.finditer(text)]
     assert expected == [("a-b", 0, 3), ("c--", 4, 7)]
     assert SurfaceMatcher(surfaces).find(text) == expected
+
+
+def test_bucket_hash_arrow_native():
+    """The exchange hash must be deterministic across chunk layouts/slices,
+    collision-free on distinct small keys, and near-uniform into buckets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.stages.shuffle import _hash_key
+
+    t = pa.table({"a": ["x", "x", "y", "", "xy", "x\x00", "x"],
+                  "b": [1, 1, 2, 3, 4, 5, 1]})
+    h = _hash_key(t, ["a", "b"])
+    assert h[0] == h[1] == h[6]
+    assert len({h[0], h[2], h[3], h[4], h[5]}) == 5
+
+    t2 = pa.Table.from_batches(t.to_batches(max_chunksize=2))
+    assert (_hash_key(t2, ["a", "b"]) == h).all()
+    assert (_hash_key(t.slice(2, 4), ["a", "b"]) == h[2:6]).all()
+
+    ti = pa.table({"k": list(range(100_000))})
+    hi = _hash_key(ti, ["k"]) % np.uint64(64)
+    ci = np.bincount(hi.astype(np.int64), minlength=64)
+    assert ci.std() / ci.mean() < 0.05
+
+    e = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.int64())})
+    assert len(_hash_key(e, ["a", "b"])) == 0

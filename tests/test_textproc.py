@@ -84,3 +84,91 @@ def test_simhash_pairs_bucketed(ray_session):
         docs["doc_id"].to_pylist(), _token_sets(docs["text"].to_pylist()))}
     for r in df.head(50).itertuples():
         assert bin(sig[r.doc_a] ^ sig[r.doc_b]).count("1") == r.hamming
+
+
+def test_fingerprint_vectorized_matches_scalar_loop():
+    """_fp_window_min must be bit-identical to the scalar
+    ``acc = (acc*B + h) % M`` rolling loop on random inputs, including
+    docs shorter than the window."""
+    import numpy as np
+
+    from kgray.pipelines.textproc import _FP_BASE, _FP_MOD, _fp_window_min
+
+    rng = np.random.RandomState(3)
+    for n in (1, 2, 3, 4, 5, 7, 50, 500):
+        for _ in range(5):
+            hashes = rng.randint(0, _FP_MOD, size=n, dtype=np.int64).astype(np.uint64)
+            window = 4
+            best = None
+            hl = [int(x) for x in hashes]
+            for i in range(max(1, n - window + 1)):
+                acc = 0
+                for h in hl[i:i + window]:
+                    acc = (acc * _FP_BASE + h) % _FP_MOD
+                best = acc if best is None else min(best, acc)
+            assert _fp_window_min(hashes, window) == best, (n, best)
+
+
+def test_jaccard_chunked_path_matches_dense(monkeypatch):
+    """The bounded chunked path (oversized buckets) must emit exactly the
+    dense incidence-matmul result."""
+    import numpy as np
+
+    import kgray.pipelines.textproc as T
+
+    rng = np.random.RandomState(11)
+    ids = np.arange(300, dtype=np.int64)
+    toks = []
+    base = np.unique(rng.randint(0, 5000, size=40).astype(np.uint64))
+    for i in range(300):
+        if i % 3 == 0:  # near-dup cluster around `base`
+            t = base.copy()
+            if i % 9 == 0 and len(t) > 2:
+                t = t[:-1]
+        else:
+            t = np.unique(rng.randint(0, 10**6, size=rng.randint(5, 60)).astype(np.uint64))
+        toks.append(np.sort(t))
+    dense = T._jaccard_pairs_for_group(ids, toks)
+    monkeypatch.setattr(T, "_JACCARD_DENSE_MAX", 10)
+    monkeypatch.setattr(T, "_JACCARD_CHUNK_ROWS", 64)
+    chunked = T._jaccard_pairs_for_group(ids, toks)
+    for d, c in zip(dense, chunked):
+        assert (np.sort(d) == np.sort(c)).all()
+    # same (a,b) pair set
+    dset = set(zip(dense[0].tolist(), dense[1].tolist()))
+    cset = set(zip(chunked[0].tolist(), chunked[1].tolist()))
+    assert dset == cset and len(dset) > 50
+
+
+def test_jaccard_skewed_bucket_bounded(ray_session):
+    """One source holding ~85% of docs (m over the dense cap) must complete
+    through the chunked path within bounded memory/time."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import kgray.pipelines.textproc as T
+
+    rng = np.random.RandomState(5)
+    n = 6000
+    rows = []
+    words = [f"w{i}" for i in range(4000)]
+    for i in range(n):
+        src = "hot" if i < int(n * 0.85) else f"cold{i % 7}"
+        k = 5 + (i % 37)
+        text = " ".join(words[j] for j in rng.randint(0, 4000, size=k))
+        if i % 500 == 0:  # a few exact dup pairs to find
+            text = "alpha beta gamma delta epsilon"
+        rows.append(dict(doc_id=i, text=text, source=src))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pylist(rows),
+                       os.path.join(d, "documents.parquet"))
+        got = T.ngram_jaccard_pairs(d).materialize().take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    expected = {(a, b) for a in range(0, n, 500) for b in range(0, n, 500)
+                if a < b and (a < n * 0.85) == (b < n * 0.85)
+                and (a < n * 0.85 or (a % 7) == (b % 7))}
+    assert expected <= pairs
