@@ -27,6 +27,14 @@ _CORPUS_ROOT = "/tmp/kgray_corpus"
 _SF_PAGES = {"sf0.001": 240, "sf0.01": 1200, "sf0.1": 6000}
 
 
+def _corpus_dir(tag: str, n: int) -> str:
+    """Versioned cache dir: a fixture-content change (FIXTURE_VERSION bump)
+    invalidates previously cached corpora instead of silently mixing."""
+    from kgray.fixtures import FIXTURE_VERSION
+
+    return os.path.join(_CORPUS_ROOT, f"{tag}-{n}-{FIXTURE_VERSION}")
+
+
 def pages_paths_for(sf_dir: str) -> list[str]:
     """Deterministic pages corpus sized to the testdata scale factor, written
     once under /tmp (sharded parquet; shards are resume-skipped)."""
@@ -34,8 +42,8 @@ def pages_paths_for(sf_dir: str) -> list[str]:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     n = _SF_PAGES.get(tag, 240)
-    out = os.path.join(_CORPUS_ROOT, f"{tag}-{n}")
-    return write_pages_corpus(out, n, shard_rows=max(60, n // 16))
+    return write_pages_corpus(_corpus_dir(tag, n), n,
+                              shard_rows=max(60, n // 16))
 
 
 def entry() -> Any:
@@ -57,8 +65,7 @@ def _ensure_raw(sf_dir: str) -> None:
     if tag not in ("sf0.001", "sf0.01"):
         return
     n = _SF_PAGES[tag]
-    write_raw_ops_corpus(os.path.join(_CORPUS_ROOT, f"{tag}-{n}"), n,
-                         shard_rows=max(60, n // 16))
+    write_raw_ops_corpus(_corpus_dir(tag, n), n, shard_rows=max(60, n // 16))
 
 
 def _kg_ops(sf_dir: str):
@@ -171,8 +178,7 @@ def _ensure_ttl(sf_dir: str) -> str | None:
         sf_dir = "/root/testdata/sf0.001"
     _ensure_raw(sf_dir)
     n = _SF_PAGES[tag]
-    docs_path, _ = write_ttl_corpus(
-        os.path.join(_CORPUS_ROOT, f"{tag}-{n}"), n)
+    docs_path, _ = write_ttl_corpus(_corpus_dir(tag, n), n)
     return docs_path
 
 
@@ -316,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
             || ' . };'"""
     kg_cmdrows = rf"""
         SELECT regexp_extract(src_url, '/wiki/(Q\d+)[?]', 1) AS entity,
+               CAST(regexp_extract(src_url, 'old=(\d+)&', 1) AS BIGINT) AS old_rev,
                CAST(regexp_extract(src_url, 'rev=(\d+)$', 1) AS BIGINT) AS rev,
                src_url, epoch_us(warc_ts) AS warc_ts_us, op,
                {kg_cmd_expr} AS command
@@ -540,14 +547,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_commands": f"""
             SELECT command FROM ({kg_cmdrows})
         """,
-        # A1 block render: per-page header + command-sorted string_agg
+        # A1 block render: per-page header + command-sorted string_agg; the
+        # header is the reference's golden block contract
+        # (sparql_updates.py:443 / sample_result.txt)
         "kg_blocks": f"""
-            SELECT entity, rev, warc_ts_us, count(*) AS n_commands,
-                   'changes for entity: ' || entity || ' rev: '
+            SELECT entity, old_rev, rev, warc_ts_us, count(*) AS n_commands,
+                   'changes for entity: ' || entity || ' between old_revid: '
+                       || CAST(old_rev AS VARCHAR) || ' and new_revid: '
                        || CAST(rev AS VARCHAR) || chr(10) || chr(10)
                        || string_agg(command, chr(10) ORDER BY command) AS block
             FROM ({kg_cmdrows})
-            GROUP BY entity, rev, warc_ts_us, src_url
+            GROUP BY entity, old_rev, rev, warc_ts_us, src_url
         """,
         # newest-first change log (content check; ordering is a sort key)
         "kg_changelog": f"""

@@ -183,10 +183,11 @@ def _scaling_corpus() -> list[str]:
     barriers) that measure overhead, not scaling.  Generated once by Ray
     tasks, cached in /tmp; generation is excluded from timing (shared input
     for both levels)."""
-    from kgray.fixtures import write_pages_corpus
+    from kgray.fixtures import FIXTURE_VERSION, write_pages_corpus
 
     out = os.path.join(
-        "/tmp/kgray_corpus", f"scaling-{SCALING_PAGES}-r{SCALING_RICHNESS}")
+        "/tmp/kgray_corpus",
+        f"scaling-{SCALING_PAGES}-r{SCALING_RICHNESS}-{FIXTURE_VERSION}")
     return write_pages_corpus(out, SCALING_PAGES,
                               shard_rows=SCALING_PAGES // 64,
                               richness=SCALING_RICHNESS)

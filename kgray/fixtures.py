@@ -230,7 +230,11 @@ def gen_page(i: int, seed: int = SEED, richness: int = 1) -> dict:
     qid = _pick_entity(rng)
     ent = ENTITIES[qid]
     lang = rng.choice(_LANGS)
-    url = f"https://pages.example.org/wiki/{qid}?rev={i}"
+    # the url carries the revision PAIR the change spans, like the
+    # reference's block header (sparql_updates.py:443 "between old_revid: …
+    # and new_revid: …"); `old=` precedes `rev=` so `rev=(\d+)$`-anchored
+    # extraction keeps working everywhere
+    url = f"https://pages.example.org/wiki/{qid}?old={max(0, i - 1)}&rev={i}"
 
     html_parts = [
         "<html><head><title>", ent["label"], "</title></head>",
@@ -283,9 +287,10 @@ def gen_pages_table(n: int, seed: int = SEED, start: int = 0,
     return pa.Table.from_pylist(rows, schema=_schema.PAGES)
 
 
-# Bump when extract/link/assemble semantics change: the raw-ops oracle
-# corpus is cached under a versioned dirname so stale caches are ignored.
-FIXTURE_VERSION = "v2"
+# Bump when extract/link/assemble semantics OR page-generation content
+# change: corpora are cached under versioned dirnames so stale caches are
+# ignored.  v3: urls carry the old/new revision pair.
+FIXTURE_VERSION = "v3"
 RAW_DIRNAME = f"raw_{FIXTURE_VERSION}"
 
 

@@ -27,15 +27,18 @@ from ..stages.serialize import serialize_batch
 
 _ENTITY_PAT = r"^.*/wiki/(Q\d+)\?.*$"
 _REV_PAT = r"^.*rev=(\d+)$"
+_OLD_PAT = r"^.*old=(\d+)&.*$"
 
 
 def _command_rows(b: pa.Table) -> pa.Table:
-    """ops batch -> (entity, rev, src_url, warc_ts_us, op, command)."""
+    """ops batch -> (entity, old_rev, rev, src_url, warc_ts_us, op, command)."""
     cmds = serialize_batch(b)["command"]
     return pa.Table.from_pydict(
         {
             "entity": pc.replace_substring_regex(
                 b["src_url"], pattern=_ENTITY_PAT, replacement=r"\1"),
+            "old_rev": pc.cast(pc.replace_substring_regex(
+                b["src_url"], pattern=_OLD_PAT, replacement=r"\1"), pa.int64()),
             "rev": pc.cast(pc.replace_substring_regex(
                 b["src_url"], pattern=_REV_PAT, replacement=r"\1"), pa.int64()),
             "src_url": b["src_url"],
@@ -48,7 +51,11 @@ def _command_rows(b: pa.Table) -> pa.Table:
 
 def kg_blocks(ops):
     """canonical ops Dataset -> per-page block rows
-    (entity, rev, warc_ts_us, n_commands, block)."""
+    (entity, old_rev, rev, warc_ts_us, n_commands, block).
+
+    The header matches the reference's golden block contract —
+    ``changes for entity: {X} between old_revid: {old} and new_revid: {new}``
+    (sparql_updates.py:443, every block of sample_result.txt)."""
     from ..stages.shuffle import bucket_groupby
 
     cmds = ops.map_batches(_command_rows, batch_format="pyarrow")
@@ -57,17 +64,21 @@ def kg_blocks(ops):
         t = t.sort_by([("src_url", "ascending"), ("command", "ascending")])
         urls = t["src_url"].to_pylist()
         ents = t["entity"].to_pylist()
+        olds = t["old_rev"].to_pylist()
         revs = t["rev"].to_pylist()
         tss = t["warc_ts_us"].to_pylist()
         commands = t["command"].to_pylist()
-        out = {k: [] for k in ("entity", "rev", "warc_ts_us", "n_commands", "block")}
+        out = {k: [] for k in
+               ("entity", "old_rev", "rev", "warc_ts_us", "n_commands", "block")}
         start = 0
         n = len(urls)
         for end in range(1, n + 1):
             if end < n and urls[end] == urls[start]:
                 continue
-            header = f"changes for entity: {ents[start]} rev: {revs[start]}"
+            header = (f"changes for entity: {ents[start]} between old_revid: "
+                      f"{olds[start]} and new_revid: {revs[start]}")
             out["entity"].append(ents[start])
+            out["old_rev"].append(olds[start])
             out["rev"].append(revs[start])
             out["warc_ts_us"].append(tss[start])
             out["n_commands"].append(end - start)
@@ -76,6 +87,7 @@ def kg_blocks(ops):
         return pa.Table.from_pydict(
             {
                 "entity": pa.array(out["entity"], pa.string()),
+                "old_rev": pa.array(out["old_rev"], pa.int64()),
                 "rev": pa.array(out["rev"], pa.int64()),
                 "warc_ts_us": pa.array(out["warc_ts_us"], pa.int64()),
                 "n_commands": pa.array(out["n_commands"], pa.int64()),
@@ -90,5 +102,5 @@ def kg_changelog(ops):
     """canonical ops Dataset -> newest-first command log
     (warc_ts_us, entity, op, command)."""
     cmds = ops.map_batches(_command_rows, batch_format="pyarrow")
-    log = cmds.drop_columns(["src_url", "rev"])
+    log = cmds.drop_columns(["src_url", "rev", "old_rev"])
     return log.sort(["warc_ts_us", "command"], descending=[True, False])

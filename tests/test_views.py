@@ -18,10 +18,15 @@ def test_blocks_reconcile_with_commands(ray_session, small_corpus):
     blocks = kg_blocks(ops).to_pandas()
     n_cmds = serialize_stage(_ops(small_corpus)).materialize().count()
     assert blocks["n_commands"].sum() == n_cmds
-    # golden-file shape: header line, blank line, one command per line
+    # golden-file shape (sparql_updates.py:443 / sample_result.txt):
+    # header line, blank line, one command per line
     row = blocks.iloc[0]
     lines = row["block"].split("\n")
-    assert lines[0] == f"changes for entity: {row['entity']} rev: {row['rev']}"
+    assert lines[0] == (
+        f"changes for entity: {row['entity']} between old_revid: "
+        f"{row['old_rev']} and new_revid: {row['rev']}"
+    )
+    assert 0 <= row["old_rev"] <= row["rev"]
     assert lines[1] == ""
     body = lines[2:]
     assert len(body) == row["n_commands"]
