@@ -161,10 +161,75 @@ def _kg_diff(sf_dir: str):
     return diff_snapshots(old, new)
 
 
+def _ensure_expected(sf_dir: str) -> None:
+    """Sequentially-computed expected tables for the rows-only queries
+    (kgray.expected) — the driver's oracle side reads these as parquet."""
+    from kgray.expected import ensure_expected
+
+    ensure_expected(sf_dir)
+
+
+def _with_expected(fn) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        _ensure_expected(sf_dir)
+        return fn(sf_dir)
+
+    return run
+
+
+def _sha1_payload(ds, extra_drop=()):
+    """Driver-stable projection: opaque binary payloads hash to sha1 hex so
+    the value compare never ships raw bytes (same pattern as the
+    warc_ts -> warc_ts_us projection in _kg_triples_query)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def stable(b: pa.Table) -> pa.Table:
+        sha = pa.array(
+            [hashlib.sha1(p).hexdigest() for p in b["payload"].to_pylist()],
+            pa.string(),
+        )
+        i = b.column_names.index("payload")
+        out = b.remove_column(i).add_column(i, "payload_sha1", sha)
+        return out.drop_columns(list(extra_drop)) if extra_drop else out
+
+    return ds.map_batches(stable, batch_format="pyarrow")
+
+
 def _media_features(sf_dir: str):
+    """hist (list<int64>) renders as a csv string for the driver's value
+    hash; the library API (pipelines.multimodal.media_features) keeps the
+    typed list column."""
+    import pyarrow as pa
+
     from kgray.pipelines.multimodal import media_features
 
-    return media_features(sf_dir)
+    _ensure_expected(sf_dir)
+
+    def stable(b: pa.Table) -> pa.Table:
+        csv = pa.array(
+            [",".join(str(v) for v in h) for h in b["hist"].to_pylist()],
+            pa.string(),
+        )
+        i = b.column_names.index("hist")
+        return b.remove_column(i).add_column(i, "hist_csv", csv)
+
+    return media_features(sf_dir).map_batches(stable, batch_format="pyarrow")
+
+
+def _media_resize(sf_dir: str):
+    from kgray.pipelines.multimodal import media_resize
+
+    _ensure_expected(sf_dir)
+    return _sha1_payload(media_resize(sf_dir))
+
+
+def _frame_sample(sf_dir: str):
+    from kgray.pipelines.multimodal import frame_sample
+
+    _ensure_expected(sf_dir)
+    return _sha1_payload(frame_sample(sf_dir))
 
 
 def _ensure_ttl(sf_dir: str) -> str | None:
@@ -235,18 +300,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "lang_id": T.lang_id,
         "ngram_jaccard": T.ngram_jaccard_pairs,
-        "minhash_lsh": T.minhash_lsh_pairs,      # rows-only (probabilistic)
-        "simhash": T.simhash_signatures,         # rows-only
-        "simhash_pairs": T.simhash_pairs,        # rows-only (probabilistic)
-        "fingerprints": T.fingerprints,          # rows-only
-        # --- multimodal (binary payloads; synthetic codecs, real plumbing) ---
-        "media_features": _media_features,      # rows-only (binary plumbing)
-        "media_resize": _q("kgray.pipelines.multimodal", "media_resize"),
-        "frame_sample": _q("kgray.pipelines.multimodal", "frame_sample"),
-        "audio_features": _q("kgray.pipelines.multimodal", "audio_features"),
+        # expected-table oracled (kgray.expected computes the truth tables
+        # sequentially; the SQL restates them as read_parquet selects):
+        "minhash_lsh": _with_expected(T.minhash_lsh_pairs),
+        "simhash": _with_expected(T.simhash_signatures),
+        "simhash_pairs": _with_expected(T.simhash_pairs),
+        "fingerprints": _with_expected(T.fingerprints),
+        # --- multimodal (binary payloads; synthetic codecs, real plumbing;
+        #     payloads project to sha1 for the driver compare) ---
+        "media_features": _media_features,
+        "media_resize": _media_resize,
+        "frame_sample": _frame_sample,
+        "audio_features": _with_expected(
+            _q("kgray.pipelines.multimodal", "audio_features")),
         # --- similarity search ---
         "knn_brute": S.knn_brute,
-        "knn_ivf": S.knn_ivf,                    # rows-only (approximate)
+        "knn_ivf": _with_expected(S.knn_ivf),
         "neardup_cosine": S.neardup_cosine,
         "label_stats": S.label_stats,
         # --- KG flagship (synthetic pages corpus).  DuckDB-oracled via the
@@ -263,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgray.expected import SCALE_KEY_SQL as _XKEY
+    from kgray.expected import expected_glob as _xglob
     from kgray.fixtures import RAW_DIRNAME, TTL_DIRNAME
     from kgray.pipelines.relational import (
         HIGH_PRICE, REGEX_PATTERN, SESSION_GAP_MIN, SHIP_CUTOFF, TOPK_N,
@@ -283,6 +354,8 @@ def oracle_sql() -> dict[str, str]:
         _ensure_ttl("/root/testdata/sf0.001")  # also ensures raw
         if _ray.is_initialized():
             _ensure_ttl("/root/testdata/sf0.01")
+        for _sf in ("sf0.001", "sf0.01"):
+            _ensure_expected(f"/root/testdata/{_sf}")
     except Exception:
         pass  # oracle strings are still valid; the query side also ensures
 
@@ -507,6 +580,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(list_intersect(a.t, b.t)) > 0
               AND length(list_intersect(a.t, b.t)) * 1.0
                   / length(list_distinct(list_concat(a.t, b.t))) >= {JACCARD_THRESHOLD}
+        """,
+        # --- expected-table oracles (kgray.expected; scale selected via
+        #     the orders-count key, unmapped scales fail loudly on -1) ---
+        "simhash": f"""
+            SELECT doc_id, simhash FROM read_parquet('{_xglob("simhash")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "simhash_pairs": f"""
+            SELECT doc_a, doc_b, hamming
+            FROM read_parquet('{_xglob("simhash_pairs")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, fingerprint
+            FROM read_parquet('{_xglob("fingerprints")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "minhash_lsh": f"""
+            SELECT doc_a, doc_b, jac FROM read_parquet('{_xglob("minhash_lsh")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "knn_ivf": f"""
+            SELECT query_id, neighbor_id, sim
+            FROM read_parquet('{_xglob("knn_ivf")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "media_features": f"""
+            SELECT media_id, byte_len, sha1, mean_px, hist_csv
+            FROM read_parquet('{_xglob("media_features")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "media_resize": f"""
+            SELECT media_id, payload_sha1, width, height
+            FROM read_parquet('{_xglob("media_resize")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "frame_sample": f"""
+            SELECT media_id, frame_idx, payload_sha1
+            FROM read_parquet('{_xglob("frame_sample")}')
+            WHERE scale_key = {_XKEY}
+        """,
+        "audio_features": f"""
+            SELECT media_id, n_samples, rms, zero_crossings
+            FROM read_parquet('{_xglob("audio_features")}')
+            WHERE scale_key = {_XKEY}
         """,
         "knn_brute": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -27,6 +27,11 @@ import ray.data as rd
 MAGIC = b"KGIM"
 HIST_BINS = 16
 
+# synthetic media corpus sizes per testdata scale tag (image table and the
+# smaller video/audio tables); shared with kgray.expected's oracle writers
+MEDIA_N = {"sf0.001": 128, "sf0.01": 512, "sf0.1": 2048}
+SMALL_MEDIA_N = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -124,7 +129,7 @@ def media_features(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 64):
     dominate heap, so batch × concurrency stays bounded regardless of image
     size (the 100-TB sizing rule from SURVEY.md §4)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    n = {"sf0.001": 128, "sf0.01": 512, "sf0.1": 2048}.get(tag, 128)
+    n = MEDIA_N.get(tag, 128)
     paths = write_media_corpus(f"/tmp/kgray_media/{tag}-{n}", n)
     ds = rd.read_parquet(paths, columns=["media_id", "payload"])
     return ds.map_batches(
@@ -249,7 +254,7 @@ class AudioFeatureActor:
 
 def _media_ds(sf_dir: str, kind: str, synth, meta) -> "rd.Dataset":
     tag = os.path.basename(os.path.normpath(sf_dir))
-    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(tag, 64)
+    n = SMALL_MEDIA_N.get(tag, 64)
     out_dir = f"/tmp/kgray_media/{kind}-{tag}-{n}"
     import pyarrow.parquet as pq
 
@@ -264,7 +269,7 @@ def _media_ds(sf_dir: str, kind: str, synth, meta) -> "rd.Dataset":
 
 def media_resize(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 64):
     tag = os.path.basename(os.path.normpath(sf_dir))
-    n = {"sf0.001": 128, "sf0.01": 512, "sf0.1": 2048}.get(tag, 128)
+    n = MEDIA_N.get(tag, 128)
     paths = write_media_corpus(f"/tmp/kgray_media/{tag}-{n}", n)
     ds = rd.read_parquet(paths, columns=["media_id", "payload"])
     return ds.map_batches(MediaResizeActor, batch_format="pyarrow",

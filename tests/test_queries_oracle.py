@@ -52,6 +52,15 @@ def test_every_oracle_has_query():
     assert not missing
 
 
+def test_every_query_has_oracle():
+    """The full board is oracled: no rows-only queries remain (VERDICT r2
+    'next round' #1 — the 9 former no_oracle entries carry expected-table
+    oracles from kgray.expected)."""
+    e = _entry()
+    missing = set(e.queries()) - set(e.oracle_sql())
+    assert not missing
+
+
 def test_entry_smoke(ray_session):
     ds = _entry().entry()
     n = ds.count()
