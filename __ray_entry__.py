@@ -260,6 +260,36 @@ def _ttl_parse(sf_dir: str):
     return parse_ttl_stage(snapshots)
 
 
+_GOLDEN_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "golden", "extract_expected.parquet")
+_GOLDEN_PAGES = 50
+
+
+def _kg_golden(sf_dir: str):
+    """Independent extraction oracle on the driver board: the distributed
+    pipeline over the fixed 50-page golden corpus vs the frozen output of
+    scripts/golden_extract.py (a from-scratch second extractor that shares
+    no code with kernels/htmltext.py or kernels/assemble.py).  Scale-
+    independent by design — the corpus is the same at every sf."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.fixtures import write_pages_corpus
+    from kgray.pipelines.kg import kg_triples, read_pages
+
+    paths = write_pages_corpus(
+        _corpus_dir("golden", _GOLDEN_PAGES), _GOLDEN_PAGES, shard_rows=10)
+
+    def stable(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("warc_ts")
+        return b.set_column(i, pa.field("warc_ts_us", pa.int64()),
+                            pc.cast(b["warc_ts"], pa.int64()))
+
+    return kg_triples(read_pages(paths)).map_batches(
+        stable, batch_format="pyarrow")
+
+
 def _q(module: str, name: str) -> Callable[[str], Any]:
     def run(sf_dir: str):
         import importlib
@@ -323,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     the SQL restates the relational tail (canonical dedup,
         #     serialization, parity diff) independently ---
         "kg_triples": _kg_triples_query,
+        "kg_golden": _kg_golden,                 # independent-extractor oracle
         "kg_commands": _kg_commands,
         "kg_diff": _kg_diff,
         "kg_blocks": _kg_blocks,                 # A1 per-entity block render
@@ -656,6 +687,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj, obj_type, lang, datatype, src_url,
                    epoch_us(warc_ts) AS warc_ts_us, op
             FROM ({kg_canon})
+        """,
+        # frozen output of the independent second-implementation extractor
+        # (scripts/golden_extract.py; checked in, reviewed on regeneration)
+        "kg_golden": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_PARQUET}')
         """,
         # serialization restated: triple_to_command + format_object
         # (kernels/rdf.py) as SQL string building.  subj/pred/datatype are
