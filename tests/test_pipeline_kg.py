@@ -129,3 +129,43 @@ def test_empty_input(ray_session, tmp_path):
     p = tmp_path / "empty.parquet"
     _pq.write_table(_schema.PAGES.empty_table(), str(p))
     assert run_kg_pipeline([str(p)], link_concurrency=1).count() == 0
+
+
+def test_linker_skew_page(ray_session, tmp_path):
+    """One page with a pathological body text (thousands of ambiguous alias
+    surfaces in a single paragraph) flows through the linker actor pool
+    without stalling or erroring, and its mentions resolve by context —
+    the actor-pool backpressure probe of VERDICT r2 next-round #10.  The
+    skewed page is one batch task; its cost must stay bounded by the
+    matcher's O(word_runs x surface_lengths) probe, not alias-table size."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    from kgray import schema as _schema
+    from kgray.fixtures import gen_pages_table
+    from kgray.kernels.htmltext import extract_text
+    from kgray.pipelines.kg import kg_triples, read_pages
+
+    t = gen_pages_table(8)
+    body = " ".join(["Paris hosts composer organ baroque recitals ."] * 3000)
+    html = (
+        '<html><body data-entity="Q42" lang="en"><h1 lang="en">Douglas Adams'
+        f'</h1><p class="body-text">{body}</p></body></html>'
+    )
+    skew = {
+        "url": "https://pages.example.org/wiki/Q42?old=998&rev=999",
+        "warc_ts": _dt.datetime(2024, 6, 1),
+        "html": html.encode(),
+        "text": extract_text(html),
+        "lang": "en",
+    }
+    t = pa.concat_tables([t, pa.Table.from_pylist([skew], schema=_schema.PAGES)])
+    p = tmp_path / "skew.parquet"
+    _pq.write_table(t, str(p))
+    df = kg_triples(read_pages([str(p)]), link_concurrency=2).to_pandas()
+    mentions = df[(df["subj"] == "wd:Q42") & (df["pred"] == "schema:mentions")
+                  & (df["src_url"].str.contains("rev=999"))]
+    # context keywords (composer/organ/baroque) disambiguate Paris -> the
+    # composer sense Q1339, not the default-prior city Q90
+    assert set(mentions["obj"]) == {"wd:Q1339"}
