@@ -18,4 +18,14 @@ No module-global state; all shared state rides in actor constructors or
 ``get_updates.py:95-102`` are designed out, per SURVEY.md §2.3/ST4).
 """
 
+import os as _os
+
+# polars (used by stages.shuffle for the exchange row hash, and by Ray Data
+# itself for sorts) defaults to a rayon pool of one thread per core PER
+# PROCESS; under 32 concurrent Ray tasks that oversubscribes the node
+# ~cores-fold.  Binding is first-import-wins, so claim it as early as
+# possible in every process that imports kgray (drivers and Ray workers
+# alike).  Deliberately setdefault: an explicit user setting wins.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

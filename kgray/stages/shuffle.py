@@ -35,7 +35,22 @@ BUCKET_COL = "__bucket"
 _SEP = "\x1f"
 
 try:  # Rust-vectorized row hash; seeded => deterministic across the
-    import polars as _pl  # processes of one session (all an exchange needs)
+    # processes of one session (all an exchange needs).  polars must run
+    # single-threaded here: its default rayon pool is one thread per core
+    # PER PROCESS, and hash_rows inside 32 concurrent Ray map tasks then
+    # runs ~cores^2 runnable threads — measured t32 SLOWER than t8 on the
+    # scaling corpus.  The env var only binds before the first polars
+    # import in each process; kgray/__init__ sets it too, so in practice
+    # every Ray worker caps the pool (the kgray UDF import precedes any
+    # other polars use in our pipelines).  If some other library still
+    # imports polars first with a wide pool we ACCEPT it anyway: hash
+    # VALUES are pool-size-independent, and the hash choice must be
+    # uniform across every worker of an exchange — a polars/fallback mix
+    # would put the same key in different buckets.
+    import os as _os
+
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as _pl
 except ImportError:  # pragma: no cover - polars ships in this env
     _pl = None
 
