@@ -60,20 +60,47 @@ def _with_key(batch: pa.Table) -> pa.Table:
 
 
 def _first_per_key(t: pa.Table) -> pa.Table:
-    """Keep the (warc_ts, src_url)-min row per key.  sort + dictionary-encode
-    + boundary mask: single-column kernels only."""
+    """Keep the (warc_ts, src_url)-min row per key.
+
+    Grouping needs key EQUALITY only, never key order, so the ~250-byte key
+    column is hash-grouped (``dictionary_encode``) instead of sorted — the
+    previous ``sort_by(key, ts, url)`` paid a long-string comparison sort
+    that dominated the whole flagship pipeline (measured 1160 s remote wall
+    in the bucket pass at 40k pages, ~36% of total compute).  Survivor
+    selection is then a vectorized per-group reduction: ``np.minimum.at``
+    finds each key's min timestamp, and only (key, min-ts) TIES — same
+    triple captured at the same instant from different pages — fall through
+    to a small lexsort on ``src_url`` to finish the lexicographic
+    (warc_ts, src_url) rule.  Output row SET is identical to the sort-based
+    implementation (same survivor per key); row ORDER within the batch is
+    input order, which nothing downstream depends on (materialize applies
+    the canonical sort; the driver compare is order-insensitive)."""
     if len(t) == 0:
         return t
-    t = t.sort_by(
-        [(_KEY, "ascending"), ("warc_ts", "ascending"), ("src_url", "ascending")]
-    )
     codes = pc.dictionary_encode(t[_KEY].combine_chunks()).indices.to_numpy(
         zero_copy_only=False
     )
-    mask = np.empty(len(codes), dtype=bool)
-    mask[0] = True
-    np.not_equal(codes[1:], codes[:-1], out=mask[1:])
-    return t.filter(pa.array(mask))
+    n_codes = int(codes.max()) + 1
+    ts = t["warc_ts"].combine_chunks().to_numpy(
+        zero_copy_only=False).view("i8")
+    min_ts = np.full(n_codes, np.iinfo(np.int64).max)
+    np.minimum.at(min_ts, codes, ts)
+    cand = np.flatnonzero(ts == min_ts[codes])
+    counts = np.bincount(codes[cand], minlength=n_codes)
+    if int(counts.max()) > 1:
+        tie = counts[codes[cand]] > 1
+        hard = cand[tie]
+        urls = np.asarray(
+            pc.take(t["src_url"].combine_chunks(),
+                    pa.array(hard, pa.int64())).to_pylist(),
+            dtype=object,
+        )
+        order = np.lexsort((urls, codes[hard]))
+        hs = hard[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = codes[hs][1:] != codes[hs][:-1]
+        cand = np.sort(np.concatenate([cand[~tie], hs[first]]))
+    return t.take(pa.array(cand, pa.int64()))
 
 
 def local_dedup(batch: pa.Table) -> pa.Table:

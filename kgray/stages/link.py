@@ -38,7 +38,10 @@ class LinkerActor:
         if "mention_text" not in kinds:
             return batch
         keep_idx = [i for i, k in enumerate(kinds) if k != "mention_text"]
-        passthrough = batch.take(keep_idx)
+        # typed indices: a pure-mention batch yields [] whose inferred null
+        # type has no take kernel (seen once batches got small enough for a
+        # lone mention_text row to fill one)
+        passthrough = batch.take(pa.array(keep_idx, pa.int64()))
 
         cols: dict[str, list] = {name: [] for name in batch.column_names}
         urls = batch["url"].to_pylist()
@@ -67,7 +70,7 @@ class LinkerActor:
 
 
 def link_stage(raw_claims, alias_rows: list[dict], *, concurrency=(1, 8),
-               batch_size: int = 512, num_cpus: float = 1):
+               batch_size: int = 128, num_cpus: float = 1):
     """raw-claims Dataset -> raw-claims Dataset with mentions resolved.
 
     ``alias_rows`` is broadcast once via ``ray.put``; actors fetch it in
