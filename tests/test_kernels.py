@@ -373,3 +373,58 @@ class TestVectorizedSerializer:
         )
         out = serialize_batch(t)
         assert out.num_rows == 0 and out.column_names == ["command"]
+
+
+class TestCanonicalizeSurvivor:
+    """The hash-group survivor kernel must implement the exact lexicographic
+    (warc_ts, src_url)-min rule, including separator bytes in content and
+    timestamp ties across pages (the small-lexsort tie path)."""
+
+    def _table(self):
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 400, 3000)
+        return pa.table({
+            "op": [("INSERT", "DELETE")[k % 2] for k in keys],
+            "subj": [f"wd:Q{k}" for k in keys],
+            "pred": [f"p:P{k % 11}" for k in keys],
+            # separator byte inside content: the length-prefixed key must
+            # not alias
+            "obj": [f"v\x1fal{k % 5}" for k in keys],
+            "lang": ["" for _ in keys],
+            "datatype": ["" for _ in keys],
+            "obj_type": ["iri" for _ in keys],
+            "src_url": [f"https://x/{rng.integers(0, 40)}" for _ in keys],
+            # coarse timestamps force (key, min-ts) ties resolved by url
+            "warc_ts": [dt.datetime(2024, 1, 1)
+                        + dt.timedelta(seconds=int(rng.integers(0, 3)))
+                        for _ in keys],
+        })
+
+    def test_matches_bruteforce_lexicographic_min(self):
+        from kgray.stages.canonicalize import (
+            KEY_COLS, _first_per_key, _with_key,
+        )
+
+        t = self._table()
+        got = _first_per_key(_with_key(t)).drop_columns(
+            ["__triple_key"]).to_pylist()
+        best = {}
+        for r in t.to_pylist():
+            k = tuple(r[c] for c in KEY_COLS)
+            lin = (r["warc_ts"], r["src_url"])
+            if k not in best or lin < (
+                    best[k]["warc_ts"], best[k]["src_url"]):
+                best[k] = r
+        canon = lambda r: tuple(sorted(r.items()))
+        assert sorted(map(canon, got)) == sorted(map(canon, best.values()))
+
+    def test_empty_input(self):
+        from kgray.stages.canonicalize import _first_per_key, _with_key
+
+        t = self._table().slice(0, 0)
+        assert len(_first_per_key(_with_key(t))) == 0
