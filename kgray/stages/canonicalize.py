@@ -108,7 +108,7 @@ def local_dedup(batch: pa.Table) -> pa.Table:
     return _first_per_key(_with_key(batch)).drop_columns([_KEY])
 
 
-def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 64):
+def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 256):
     """ops Dataset -> deduped ops Dataset (set semantics over triples).
 
     The ~250-byte composite key is NEVER shipped through the exchange: the

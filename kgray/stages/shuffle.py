@@ -17,10 +17,14 @@ work with Arrow-native kernels (``Table.group_by``), so the per-key cost is
 C, not Python.  Same-key rows always share a bucket, so any per-key
 reduction computed inside ``fn`` is globally correct.
 
-``num_buckets`` sizes the unit of shuffle parallelism: at 100 TB pick
-buckets ≈ several × cluster cores so each bucket's rows fit a worker heap;
-the hash is uniform, so only aggregate-key skew (not row skew) matters —
-and key skew was already collapsed by the caller's local combiner.
+``num_buckets`` sizes the unit of shuffle parallelism: pick buckets ≈
+several × cluster cores so each bucket's rows fit a worker heap AND the
+per-bucket pass runs many scheduling waves (64 uniform buckets on 32 cores
+is a 2-wave schedule whose tail quantization only bites at full width —
+measured ~24 s max-task tail on the flagship; the 256 default is ~8
+waves).  The hash is uniform, so only aggregate-key skew (not row skew)
+matters — and key skew was already collapsed by the caller's local
+combiner.
 """
 
 from __future__ import annotations
@@ -154,7 +158,7 @@ def bucket_groupby(
     key_cols: Sequence[str],
     fn: Callable[[pa.Table], pa.Table],
     *,
-    num_buckets: int = 64,
+    num_buckets: int = 256,
     spread: bool = False,
 ):
     """Hash-partition ``ds`` by ``key_cols`` and apply vectorized ``fn`` to
