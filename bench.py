@@ -84,8 +84,10 @@ def _init_ray(num_cpus: int) -> None:
 
 
 # in-bench scaling corpus: heavy enough that per-page compute dominates
-# fixed session windows, light enough to keep the round bench bounded
-BENCH_SCALING_PAGES = int(os.environ.get("KGRAY_BENCH_SCALING_PAGES", "20000"))
+# fixed session windows (the round-3 kernel work made 20k-40k jobs too
+# light — their ratio measures the ~20-30 s width-independent overhead,
+# not the pipeline), light enough to keep the round bench bounded
+BENCH_SCALING_PAGES = int(os.environ.get("KGRAY_BENCH_SCALING_PAGES", "160000"))
 BENCH_SCALING_RICHNESS = int(os.environ.get("KGRAY_BENCH_SCALING_RICHNESS", "8"))
 
 
@@ -205,11 +207,11 @@ def main() -> None:
     print(json.dumps(result))
 
 
-SCALING_PAGES = int(os.environ.get("KGRAY_SCALING_PAGES", "40000"))
-# realistic Common-Crawl page weight (~26 KB html vs the 3 KB unit fixture):
-# per-page compute must dominate fixed session windows for the efficiency
-# number to measure scaling rather than overhead
-SCALING_RICHNESS = int(os.environ.get("KGRAY_SCALING_RICHNESS", "16"))
+SCALING_PAGES = int(os.environ.get("KGRAY_SCALING_PAGES", "160000"))
+# richness 8 (~13 KB html vs the 3 KB unit fixture): with 160k pages the
+# job is W-dominated at both widths; richness beyond this only stretches
+# round duration without changing the ratio
+SCALING_RICHNESS = int(os.environ.get("KGRAY_SCALING_RICHNESS", "8"))
 
 
 def _scaling_corpus() -> list[str]:
