@@ -146,17 +146,7 @@ def _paired_round(lo: int, hi: int, pages: int, richness: int,
 STEADY_CEILING = 0.85
 
 
-def _paired_protocol(rounds: int, pages: int, richness: int) -> dict:
-    """N interleaved (spin, t_lo, t_hi, spin) rounds; the reported sample is
-    the max-efficiency round among those whose adjacent spin controls BOTH
-    clear STEADY_CEILING (run order alternates to decorrelate host drift).
-    If the box never offers a steady window, the best round is reported
-    with steady_window=false — an honest miss, not a laundered number."""
-    lo, hi = max(1, NUM_CPUS // 4), NUM_CPUS
-    samples = [
-        _paired_round(lo, hi, pages, richness, hi_first=bool(i % 2))
-        for i in range(rounds)
-    ]
+def _summarize_rounds(samples: list, rounds: int) -> dict:
     steady = [s for s in samples if s["spin_ceiling_min"] >= STEADY_CEILING]
     best = max(steady or samples, key=lambda s: s["efficiency"])
     return {
@@ -168,12 +158,32 @@ def _paired_protocol(rounds: int, pages: int, richness: int) -> dict:
     }
 
 
-def _scaling_sample() -> dict:
+def _paired_protocol(rounds: int, pages: int, richness: int,
+                     on_round=None) -> dict:
+    """N interleaved (spin, t_lo, t_hi, spin) rounds; the reported sample is
+    the max-efficiency round among those whose adjacent spin controls BOTH
+    clear STEADY_CEILING (run order alternates to decorrelate host drift).
+    If the box never offers a steady window, the best round is reported
+    with steady_window=false — an honest miss, not a laundered number.
+    ``on_round`` (if given) receives the summary-so-far after every round —
+    the crash-safety hook that lets the caller emit a parseable record per
+    round instead of losing the whole multi-minute sample to a timeout."""
+    lo, hi = max(1, NUM_CPUS // 4), NUM_CPUS
+    samples: list = []
+    for i in range(rounds):
+        samples.append(
+            _paired_round(lo, hi, pages, richness, hi_first=bool(i % 2)))
+        if on_round is not None:
+            on_round(_summarize_rounds(samples, rounds))
+    return _summarize_rounds(samples, rounds)
+
+
+def _scaling_sample(on_round=None) -> dict:
     """In-bench scaling block (the north-rule N-vs-4N criterion tracked per
     round; BASELINE.md holds the cross-round history)."""
     rounds = int(os.environ.get("KGRAY_BENCH_SCALING_ROUNDS", "2"))
     return _paired_protocol(rounds, BENCH_SCALING_PAGES,
-                            BENCH_SCALING_RICHNESS)
+                            BENCH_SCALING_RICHNESS, on_round=on_round)
 
 
 def main() -> None:
@@ -198,12 +208,16 @@ def main() -> None:
 
     ray.shutdown()  # the scaling subprocesses own their own sessions
     if os.environ.get("KGRAY_BENCH_SCALING", "1") != "0":
-        # crash-safety: emit the headline record FIRST so a harness timeout
-        # during the multi-minute scaling sample still leaves a parseable
-        # result line; on normal completion the LAST line is the full
-        # record including the scaling block
+        # crash-safety: emit the headline record FIRST, then a full record
+        # after EVERY paired round, so a harness timeout mid-sample still
+        # leaves the best-so-far scaling block on the last parseable line
         print(json.dumps(result), flush=True)
-        result["scaling"] = _scaling_sample()
+
+        def emit(partial: dict) -> None:
+            result["scaling"] = partial
+            print(json.dumps(result), flush=True)
+
+        result["scaling"] = _scaling_sample(on_round=emit)
     print(json.dumps(result))
 
 
