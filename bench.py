@@ -66,7 +66,7 @@ def run_queries(names: list[str], sf_dir: str) -> tuple[dict, dict]:
     return times, rows
 
 
-def _init_ray(num_cpus: int) -> None:
+def _init_ray(num_cpus: int, block_mb: int = 32) -> None:
     import ray
 
     if not ray.is_initialized():
@@ -76,18 +76,24 @@ def _init_ray(num_cpus: int) -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # Default 128 MiB block targets cap mid-pipeline parallelism below the
-    # core count on benchmark-scale inputs (measured: 19-task reduces on 32
-    # cpus).  32 MiB keeps every stage at least cluster-wide here; at real
-    # cluster scale the data volume makes this moot.
-    ctx.target_max_block_size = 32 * 1024 * 1024
+    # Block-size targets trade parallelism against shuffle object count.
+    # 32 MiB (headline default): the sf0.1 queries are small enough that
+    # 128 MiB targets cap mid-pipeline parallelism below the core count
+    # (measured: 19-task reduces on 32 cpus).  The SCALING corpus inverts
+    # this: Ray's sort-based exchange creates O(blocks x partitions) slice
+    # objects, and 32 MiB blocks at 160k pages meant 384x384 ~ 147k tiny
+    # objects whose raylet metadata churn serialized the sort map phase
+    # (~4 concurrent tasks on 32 cpus) — _single() passes 128 there.
+    ctx.target_max_block_size = block_mb * 1024 * 1024
 
 
-# in-bench scaling corpus: heavy enough that per-page compute dominates
-# fixed session windows (the round-3 kernel work made 20k-40k jobs too
-# light — their ratio measures the ~20-30 s width-independent overhead,
-# not the pipeline), light enough to keep the round bench bounded
-BENCH_SCALING_PAGES = int(os.environ.get("KGRAY_BENCH_SCALING_PAGES", "160000"))
+# in-bench scaling corpus: the 40k job completes a paired round in ~5-8
+# minutes, so the driver's bench window always captures a full sample.
+# The ratio it measures is dominated by the sort-exchange fan-in (~20-30 s
+# width-independent after the round-3 kernel work); the 160k campaign
+# rounds in BASELINE.md carry the W-dominated measurement (~30 min/round,
+# too long to risk inside the driver's bench)
+BENCH_SCALING_PAGES = int(os.environ.get("KGRAY_BENCH_SCALING_PAGES", "40000"))
 BENCH_SCALING_RICHNESS = int(os.environ.get("KGRAY_BENCH_SCALING_RICHNESS", "8"))
 
 
@@ -247,7 +253,7 @@ def _scaling_corpus() -> list[str]:
 def _single(num_cpus: int) -> None:
     """One fresh-process flagship run (invoked by --scaling)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    _init_ray(num_cpus)
+    _init_ray(num_cpus, block_mb=128)
     paths = _scaling_corpus()  # cached after first call; excluded from timing
     from kgray.pipelines.kg import kg_triples, read_pages
 

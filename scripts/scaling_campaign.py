@@ -28,12 +28,11 @@ def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_campaign.jsonl"
     lo, hi = max(1, bench.NUM_CPUS // 4), bench.NUM_CPUS
-    # the round-3 optimizations (256-bucket exchange, hash-group dedup,
+    # the round-3 optimizations (4096-bucket exchange, hash-group dedup,
     # finer actor batches) cut the 40k job's W enough that its ratio is
-    # dominated by the ~20-30 s of width-independent overhead; the 160k
-    # corpus restores W >> F (same round duration as the pre-optimization
-    # 40k rounds)
-    configs = [(160000, 8), (40000, 8)]
+    # dominated by the ~20-30 s of width-independent sort fan-in; the 160k
+    # corpus restores W >> F.  160k rounds take ~30 min — run few of them.
+    configs = [(160000, 8)]
     for i in range(rounds):
         pages, richness = configs[i % len(configs)]
         t0 = time.time()
