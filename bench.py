@@ -251,9 +251,15 @@ def _scaling_corpus() -> list[str]:
 
 
 def _single(num_cpus: int) -> None:
-    """One fresh-process flagship run (invoked by --scaling)."""
+    """One fresh-process flagship run (invoked by --scaling).
+
+    Block size follows corpus size: the sort exchange's object count grows
+    as O(blocks x partitions), so the 160k corpus needs fat 128 MiB blocks
+    (32 MiB there = ~147k slice objects, raylet-bound), while the 40k
+    corpus is healthiest at 32 MiB (128 MiB would leave a ~31-partition
+    one-wave reduce on 32 cpus)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    _init_ray(num_cpus, block_mb=128)
+    _init_ray(num_cpus, block_mb=128 if SCALING_PAGES >= 100_000 else 32)
     paths = _scaling_corpus()  # cached after first call; excluded from timing
     from kgray.pipelines.kg import kg_triples, read_pages
 
