@@ -161,6 +161,10 @@ def _summarize_rounds(samples: list, rounds: int) -> dict:
         "rounds": samples,
         "protocol": (f"{rounds} interleaved paired rounds; best sample among "
                      f"those with both adjacent spin ceilings >= {STEADY_CEILING}"),
+        "note": ("in-bench corpus is sized to finish inside the bench "
+                 "window; BASELINE.md round-3 campaign table holds the "
+                 "W-dominated 160k-page rounds (the sort-barrier fan-in "
+                 "is a larger share of the smaller job)"),
     }
 
 
