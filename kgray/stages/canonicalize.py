@@ -108,7 +108,7 @@ def local_dedup(batch: pa.Table) -> pa.Table:
     return _first_per_key(_with_key(batch)).drop_columns([_KEY])
 
 
-def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 256):
+def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 4096):
     """ops Dataset -> deduped ops Dataset (set semantics over triples).
 
     The ~250-byte composite key is NEVER shipped through the exchange: the
@@ -134,5 +134,10 @@ def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 256):
     # dominated any residual difference.  The reduce width therefore follows
     # the upstream block count, which grows with data size — the property
     # that matters at cluster scale.
+    # sort + whole-partition map, not groupby().map_groups: the sort places
+    # every bucket value wholly inside one partition and _first_per_key
+    # groups by the full key itself, so one call per partition suffices
+    # (see stages/shuffle.bucket_groupby for the per-group-overhead math)
     pre = ops.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
-    return pre.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+    return pre.sort(BUCKET_COL).map_batches(
+        per_bucket, batch_format="pyarrow", batch_size=None)

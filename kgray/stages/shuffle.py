@@ -17,14 +17,24 @@ work with Arrow-native kernels (``Table.group_by``), so the per-key cost is
 C, not Python.  Same-key rows always share a bucket, so any per-key
 reduction computed inside ``fn`` is globally correct.
 
-``num_buckets`` sizes the unit of shuffle parallelism: pick buckets ≈
-several × cluster cores so each bucket's rows fit a worker heap AND the
-per-bucket pass runs many scheduling waves (64 uniform buckets on 32 cores
-is a 2-wave schedule whose tail quantization only bites at full width —
-measured ~24 s max-task tail on the flagship; the 256 default is ~8
-waves).  The hash is uniform, so only aggregate-key skew (not row skew)
-matters — and key skew was already collapsed by the caller's local
-combiner.
+``num_buckets`` must stay WELL ABOVE both the core count and any plausible
+sort-partition count:
+
+* buckets ≲ cores quantizes the per-bucket pass into few scheduling waves
+  (64 uniform buckets on 32 cores = 2 waves; the ~24 s straggler tail only
+  bites at full width);
+* buckets ≲ sort partitions is far worse: Ray's sort-based ``groupby``
+  samples range boundaries from the bucket column, and with fewer distinct
+  values than partitions the duplicate boundaries collapse entire
+  multi-bucket row ranges into a handful of reduce partitions (measured:
+  multi-GB, 15-minute reduce tasks at 58 M rows / 256 buckets / 384
+  partitions, while 14 M rows / 256 buckets / 122 partitions was fine).
+
+The 4096 default clears both for any single-node width and for the
+several-hundred-partition exchanges of cluster-scale runs; per-group fn
+call overhead is sub-ms, so over-bucketing is cheap.  The hash is uniform,
+so only aggregate-key skew (not row skew) matters — and key skew was
+already collapsed by the caller's local combiner.
 """
 
 from __future__ import annotations
@@ -158,31 +168,58 @@ def bucket_groupby(
     key_cols: Sequence[str],
     fn: Callable[[pa.Table], pa.Table],
     *,
-    num_buckets: int = 256,
+    num_buckets: int = 4096,
     spread: bool = False,
+    spread_blocks: int | None = None,
 ):
     """Hash-partition ``ds`` by ``key_cols`` and apply vectorized ``fn`` to
     each bucket (all rows of a bucket in one Arrow table, ``__bucket``
     already dropped).
 
-    ``spread=True`` repartitions to ``num_buckets`` blocks ahead of the
-    groupby so the sort exchange yields ~one reduce partition per bucket —
-    worth the extra exchange when ``fn`` is CPU-heavy per bucket (pairwise
+    ``spread=True`` repartitions to ``spread_blocks`` blocks ahead of the
+    exchange so it yields many balanced reduce partitions — worth the
+    extra exchange when ``fn`` is CPU-heavy per bucket (pairwise
     verification); skip it when ``fn`` is a cheap Arrow reduction and the
-    upstream block count already provides parallelism."""
+    upstream block count already provides parallelism.  ``spread_blocks``
+    is deliberately decoupled from ``num_buckets`` (see module docstring:
+    buckets must dominate partition counts, while the useful repartition
+    width is a few × cores).
+
+    Physical plan: ``sort(__bucket)`` + ``map_batches(batch_size=None)``,
+    NOT ``groupby().map_groups``.  Ray's sort places every bucket value
+    wholly inside one reduce partition (rows equal to a boundary fall on
+    one consistent side), and every ``fn`` here already does its own
+    per-key grouping internally (a hash bucket always contained many keys)
+    — so ``fn`` runs ONCE per partition over a union of whole buckets.
+    ``map_groups`` provides the same partitions but then pays a slice +
+    batch-format conversion + Python call + output block PER GROUP, which
+    at 4096 buckets doubled the small-corpus bench (minhash_lsh 13.4 s ->
+    26.5 s) for machinery no consumer needed."""
     key_cols = list(key_cols)
 
     def tag(batch: pa.Table) -> pa.Table:
         return add_bucket(batch, key_cols, num_buckets)
 
-    def per_bucket(group: pa.Table) -> pa.Table:
-        return fn(group.drop_columns([BUCKET_COL]))
+    def per_partition(part: pa.Table) -> pa.Table:
+        return fn(part.drop_columns([BUCKET_COL]))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     if spread:
-        tagged = tagged.repartition(num_buckets)
-    return tagged.groupby(BUCKET_COL).map_groups(
-        per_bucket, batch_format="pyarrow"
+        if spread_blocks is None:
+            # ~2 blocks per cluster core, floored at 64: enough reduce
+            # width for the heavy per-bucket work without shredding a
+            # bench-scale input into hundreds of tiny partitions
+            try:
+                import ray
+
+                cpus = (int(ray.cluster_resources().get("CPU", 32))
+                        if ray.is_initialized() else 32)
+            except Exception:
+                cpus = 32
+            spread_blocks = min(1024, max(64, 2 * cpus))
+        tagged = tagged.repartition(spread_blocks)
+    return tagged.sort(BUCKET_COL).map_batches(
+        per_partition, batch_format="pyarrow", batch_size=None
     )
 
 
