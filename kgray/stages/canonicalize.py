@@ -116,7 +116,7 @@ def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 4096)
     it; the per-bucket pass re-derives it locally.  At 20M+ rows the key
     column would otherwise dominate shuffle bytes (measured: the exchange was
     ~60% of pipeline compute on the 40k x 26KB corpus before this)."""
-    from .shuffle import BUCKET_COL, add_bucket
+    from .shuffle import BUCKET_COL, add_bucket, exchange_map
 
     def combine(batch: pa.Table) -> pa.Table:
         batch = _first_per_key(_with_key(batch))
@@ -127,17 +127,12 @@ def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 4096)
         group = group.drop_columns([BUCKET_COL])
         return _first_per_key(_with_key(group)).drop_columns([_KEY])
 
-    # Physical note: widening the reduce with an extra repartition (before
-    # or after the combiner) was A/B-measured at 20k pages x richness 8 and
-    # NOT kept — the added exchange cost exceeded the width gain (sort
-    # reduce cpu-time grew ~3x at 64 partitions), and host-contention noise
-    # dominated any residual difference.  The reduce width therefore follows
-    # the upstream block count, which grows with data size — the property
-    # that matters at cluster scale.
-    # sort + whole-partition map, not groupby().map_groups: the sort places
-    # every bucket value wholly inside one partition and _first_per_key
-    # groups by the full key itself, so one call per partition suffices
-    # (see stages/shuffle.bucket_groupby for the per-group-overhead math)
+    # Physical plan: hash exchange by default (see shuffle.exchange_map) —
+    # round 3 localized the width-dependent scaling residual in the SORT
+    # exchange's reduce fan-in (range-boundary sampling + chunked-string
+    # concat behind a barrier); hash routing streams the fan-in instead.
+    # Whole-partition map, not groupby().map_groups: _first_per_key groups
+    # by the full key itself, so one call per partition suffices (see
+    # stages/shuffle.bucket_groupby for the per-group-overhead math).
     pre = ops.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
-    return pre.sort(BUCKET_COL).map_batches(
-        per_bucket, batch_format="pyarrow", batch_size=None)
+    return exchange_map(pre, per_bucket)

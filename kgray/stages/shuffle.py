@@ -39,6 +39,7 @@ already collapsed by the caller's local combiner.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 import numpy as np
@@ -47,6 +48,22 @@ import pyarrow.compute as pc
 
 BUCKET_COL = "__bucket"
 _SEP = "\x1f"
+
+# Exchange physical strategy.  "hash" routes the co-location through Ray's
+# HASH_SHUFFLE repartition-by-key (map tasks partition by hash(bucket) and
+# push to aggregator actors that concat each partition — no sort barrier,
+# no range-boundary sampling, streaming fan-in); "sort" is the legacy
+# sort(__bucket) exchange kept as fallback and as the A/B control for the
+# scaling campaign.  Selected per-call via env so a campaign can flip it
+# without code edits.
+_EXCHANGE_ENV = "KGRAY_EXCHANGE"
+# Scheduler CPU reservation budget for the aggregator-actor pool as a
+# fraction of cluster CPUs.  Round-3's HASH_SHUFFLE probe stalled because
+# the default reservation — min(1, (CPU/2)/partitions) per partition — put
+# 16 of 32 cpus on aggregators and starved the extract/link actor pool.
+# 1/8th of the cluster is enough for concat-only aggregators (they are
+# bandwidth-, not cpu-bound) and leaves the task/actor pools whole.
+_AGG_CPU_FRACTION = 8
 
 try:  # Rust-vectorized row hash; seeded => deterministic across the
     # processes of one session (all an exchange needs).  polars must run
@@ -163,6 +180,83 @@ def add_bucket(batch: pa.Table, key_cols: Sequence[str], num_buckets: int) -> pa
     return batch.append_column(BUCKET_COL, pa.array(h.astype(np.int32)))
 
 
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 32))
+    except Exception:  # pragma: no cover - ray import/cluster race
+        pass
+    return 32
+
+
+def default_exchange_partitions(cpus: int | None = None) -> int:
+    """Reduce width of an exchange: ~2 partitions per cluster core, floored
+    at 64 (enough waves to absorb per-partition variance) and capped at 1024
+    (keeps O(maps x partitions) shuffle-object metadata bounded)."""
+    if cpus is None:
+        cpus = _cluster_cpus()
+    return min(1024, max(64, 2 * cpus))
+
+
+def exchange_mode() -> str:
+    return os.environ.get(_EXCHANGE_ENV, "hash")
+
+
+def _tune_hash_shuffle(ctx, num_partitions: int, cpus: int) -> None:
+    """Bound the aggregator pool's scheduler footprint on ``ctx`` (the
+    DATASET's own context copy — the process-global DataContext is never
+    touched, so unrelated pipelines keep the default sort strategy)."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    budget = max(1.0, cpus / _AGG_CPU_FRACTION)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+        budget / num_partitions)
+    # fewer, beefier aggregators: less actor overhead and one contiguous
+    # memory reservation per actor instead of 64 slivers
+    ctx.max_hash_shuffle_aggregators = max(4, min(16, cpus // 2))
+
+
+def exchange_map(
+    tagged,
+    per_partition: Callable[[pa.Table], pa.Table],
+    *,
+    num_partitions: int | None = None,
+):
+    """Co-locate equal ``__bucket`` values and run ``per_partition`` exactly
+    once over each co-located partition (a union of whole buckets, Arrow
+    table, ``__bucket`` still attached).
+
+    hash mode (default): ``repartition(num_partitions, keys=[__bucket])``
+    under Ray's HASH_SHUFFLE — map tasks hash-route rows to aggregator
+    actors, each finalized partition is emitted as ONE block, and
+    ``map_batches(batch_size=None)`` therefore calls ``per_partition`` once
+    per partition.  Exactly-once-per-bucket holds by hash routing (same
+    bucket value -> same partition) and is pinned by a regression test that
+    forces a tiny ``target_max_block_size`` with multi-block-sized buckets
+    (tests/test_shuffle_exchange.py).  Unlike the sort path there is no
+    range-boundary sampling to collapse partitions and no sort barrier —
+    fan-in streams as map tasks finish.
+
+    sort mode (``KGRAY_EXCHANGE=sort``): the legacy ``sort(__bucket)``
+    exchange.  Ray's sort places every bucket value wholly inside one merged
+    reduce block (rows equal to a boundary fall on one consistent side;
+    merge_sorted_blocks returns a single block in the pinned ray 2.49.2),
+    pinned by the same regression test."""
+    if num_partitions is None:
+        num_partitions = default_exchange_partitions()
+    if exchange_mode() == "hash":
+        _tune_hash_shuffle(tagged.context, num_partitions, _cluster_cpus())
+        return tagged.repartition(
+            num_partitions, keys=[BUCKET_COL]
+        ).map_batches(per_partition, batch_format="pyarrow", batch_size=None)
+    return tagged.sort(BUCKET_COL).map_batches(
+        per_partition, batch_format="pyarrow", batch_size=None
+    )
+
+
 def bucket_groupby(
     ds,
     key_cols: Sequence[str],
@@ -176,25 +270,23 @@ def bucket_groupby(
     each bucket (all rows of a bucket in one Arrow table, ``__bucket``
     already dropped).
 
-    ``spread=True`` repartitions to ``spread_blocks`` blocks ahead of the
-    exchange so it yields many balanced reduce partitions — worth the
-    extra exchange when ``fn`` is CPU-heavy per bucket (pairwise
-    verification); skip it when ``fn`` is a cheap Arrow reduction and the
-    upstream block count already provides parallelism.  ``spread_blocks``
-    is deliberately decoupled from ``num_buckets`` (see module docstring:
-    buckets must dominate partition counts, while the useful repartition
-    width is a few × cores).
+    Physical plan: see ``exchange_map`` — hash repartition-by-bucket by
+    default, legacy sort exchange via ``KGRAY_EXCHANGE=sort``.  Either way
+    every ``fn`` here does its own per-key grouping internally (a hash
+    bucket always contained many keys), so ``fn`` runs ONCE per partition
+    over a union of whole buckets; ``groupby().map_groups`` would provide
+    the same partitions but then pays a slice + batch-format conversion +
+    Python call + output block PER GROUP, which at 4096 buckets doubled the
+    small-corpus bench (minhash_lsh 13.4 s -> 26.5 s) for machinery no
+    consumer needed.
 
-    Physical plan: ``sort(__bucket)`` + ``map_batches(batch_size=None)``,
-    NOT ``groupby().map_groups``.  Ray's sort places every bucket value
-    wholly inside one reduce partition (rows equal to a boundary fall on
-    one consistent side), and every ``fn`` here already does its own
-    per-key grouping internally (a hash bucket always contained many keys)
-    — so ``fn`` runs ONCE per partition over a union of whole buckets.
-    ``map_groups`` provides the same partitions but then pays a slice +
-    batch-format conversion + Python call + output block PER GROUP, which
-    at 4096 buckets doubled the small-corpus bench (minhash_lsh 13.4 s ->
-    26.5 s) for machinery no consumer needed."""
+    ``spread=True`` asks for a wide reduce because ``fn`` is CPU-heavy per
+    bucket (pairwise verification).  In hash mode reduce width IS the
+    partition count, so this just sets it explicitly; in sort mode it
+    repartitions ahead of the sort (the sort's reduce width follows its
+    input block count).  ``spread_blocks`` is deliberately decoupled from
+    ``num_buckets`` (see module docstring: buckets must dominate partition
+    counts, while the useful reduce width is a few × cores)."""
     key_cols = list(key_cols)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -204,23 +296,11 @@ def bucket_groupby(
         return fn(part.drop_columns([BUCKET_COL]))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
-    if spread:
-        if spread_blocks is None:
-            # ~2 blocks per cluster core, floored at 64: enough reduce
-            # width for the heavy per-bucket work without shredding a
-            # bench-scale input into hundreds of tiny partitions
-            try:
-                import ray
-
-                cpus = (int(ray.cluster_resources().get("CPU", 32))
-                        if ray.is_initialized() else 32)
-            except Exception:
-                cpus = 32
-            spread_blocks = min(1024, max(64, 2 * cpus))
+    if spread_blocks is None:
+        spread_blocks = default_exchange_partitions()
+    if spread and exchange_mode() != "hash":
         tagged = tagged.repartition(spread_blocks)
-    return tagged.sort(BUCKET_COL).map_batches(
-        per_partition, batch_format="pyarrow", batch_size=None
-    )
+    return exchange_map(tagged, per_partition, num_partitions=spread_blocks)
 
 
 def arrow_min_dedup(
