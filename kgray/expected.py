@@ -37,7 +37,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_VERSION = "v1"
+EXPECTED_VERSION = "v2"  # v2: fingerprint token hash = shared vectorized
+#     exchange hash (kgray/pipelines/textproc._fp_token_hashes), replacing
+#     per-token blake2b
 _ROOT = "/tmp/kgray_expected"
 # scale tag -> orders row count (the discriminator the oracle SQL can see)
 SCALE_KEY = {"sf0.001": 1500, "sf0.01": 15000}
@@ -97,12 +99,18 @@ def _simhash_scalar(tokens: set[str]) -> int:
 
 
 def _fingerprint_scalar(text: str, window: int = 4) -> str:
-    """Naive per-window rolling polynomial (the pipeline computes all
-    windows at once with exact mod-2^61-1 uint64 arithmetic)."""
+    """Naive per-window rolling polynomial in plain Python ints (the
+    pipeline computes all windows of all docs at once with exact
+    mod-2^61-1 uint64 arithmetic).  The token-hash VALUES are shared with
+    the pipeline by design (same rule as MinHash signatures, module
+    docstring): this check targets tokenization + window-min, not the hash
+    function."""
+    from .pipelines.textproc import _fp_token_hashes
+
     toks = [t for t in _WS_RE.split(text.strip()) if t]
     if not toks:
         return "0" * 16
-    hs = [_tok_hash(t) % _FP_MOD for t in toks]
+    hs = [int(v) for v in _fp_token_hashes(pa.array(toks, pa.string()))]
     best: int | None = None
     for i in range(max(1, len(hs) - window + 1)):
         acc = 0
@@ -372,12 +380,33 @@ _BUILDERS = {
 }
 
 
+def _params_fingerprint() -> str:
+    """Digest of every shared pipeline constant an expected table depends
+    on, folded into the cache key so constant drift rebuilds the tables
+    automatically instead of failing the oracle from a stale /tmp cache
+    (ADVICE r3 #5)."""
+    from .pipelines import multimodal as mm
+    from .pipelines import simsearch as ss
+    from .pipelines import textproc as tp
+
+    parts = (
+        tp.JACCARD_THRESHOLD, tp.MINHASH_PERMS, tp.LSH_BANDS,
+        tp.SIMHASH_BANDS, tp.SIMHASH_MAX_HAMMING,
+        tp._FP_BASE, tp._FP_MOD,
+        ss.IVF_CLUSTERS, ss.N_QUERIES, ss.TOP_K, ss._TRAIN_SAMPLE,
+        mm.HIST_BINS, tuple(sorted(mm.MEDIA_N.items())),
+        tuple(sorted(mm.SMALL_MEDIA_N.items())),
+    )
+    return hashlib.blake2b(repr(parts).encode(), digest_size=8).hexdigest()
+
+
 def _src_fingerprint(sf_dir: str, src: str | None) -> str:
     if src is None:
-        return "synthetic"
+        return f"synthetic-{_params_fingerprint()}"
     path = os.path.join(sf_dir, src)
     st = os.stat(path)
-    return f"{pq.read_metadata(path).num_rows}-{st.st_size}-{int(st.st_mtime)}"
+    return (f"{pq.read_metadata(path).num_rows}-{st.st_size}-"
+            f"{int(st.st_mtime)}-{_params_fingerprint()}")
 
 
 def ensure_expected(sf_dir: str, names=NAMES) -> None:

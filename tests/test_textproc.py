@@ -172,3 +172,43 @@ def test_jaccard_skewed_bucket_bounded(ray_session):
                 if a < b and (a < n * 0.85) == (b < n * 0.85)
                 and (a < n * 0.85 or (a % 7) == (b % 7))}
     assert expected <= pairs
+
+
+def test_ngram_jaccard_hot_source_splits_into_block_tasks(ray_session, tmp_path, monkeypatch):
+    """VERDICT r3 #3: a source holding ~80% of docs must fan out into >1
+    scoring task (block pairs), and the split plan must not change the
+    emitted pair set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgray.pipelines import textproc as tp
+
+    # corpus: 40 docs, 32 in one hot source; several exact-duplicate texts
+    rng = np.random.default_rng(11)
+    base = ["alpha beta gamma delta epsilon zeta", "one two three four five six"]
+    texts, srcs = [], []
+    for i in range(40):
+        t = base[i % 2] + (" extra" if i % 7 == 0 else "")
+        texts.append(t)
+        srcs.append("hot" if i < 32 else f"cold{i % 3}")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    baseline = _pairs(tp.ngram_jaccard_pairs(str(d)).to_pandas())
+    assert baseline, "fixture must contain duplicate pairs"
+
+    # force the hot group to split into >=4 blocks
+    monkeypatch.setattr(tp, "_JACCARD_GROUP_SPLIT", 10)
+    monkeypatch.setattr(tp, "_JACCARD_BLOCK_ROWS", 8)
+    plan = tp._jaccard_block_plan({"hot": 32, "cold0": 3})
+    assert plan["hot"] >= 4 and plan["cold0"] == 1
+    split = tp.ngram_jaccard_pairs(str(d)).to_pandas()
+    assert _pairs(split) == baseline
+    # exactly-once: no duplicate pair rows across block tasks
+    assert not split.duplicated(["doc_a", "doc_b"]).any()
