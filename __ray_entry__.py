@@ -21,6 +21,11 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+# entrypoint owns the process: cap polars' rayon pool before any polars
+# import (the exchange row hash runs inside many concurrent Ray tasks;
+# per-core pools per process oversubscribe the node ~cores-fold)
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 _CORPUS_ROOT = "/tmp/kgray_corpus"
 # synthetic pages per testdata scale factor (BASELINE.json input_hint shape;
 # synthesised deterministically — no external data)

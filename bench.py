@@ -18,6 +18,9 @@ import subprocess
 import sys
 import time
 
+# entrypoint owns the process: cap polars before anything imports it
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 

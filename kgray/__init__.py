@@ -18,14 +18,12 @@ No module-global state; all shared state rides in actor constructors or
 ``get_updates.py:95-102`` are designed out, per SURVEY.md §2.3/ST4).
 """
 
-import os as _os
-
-# polars (used by stages.shuffle for the exchange row hash, and by Ray Data
-# itself for sorts) defaults to a rayon pool of one thread per core PER
-# PROCESS; under 32 concurrent Ray tasks that oversubscribes the node
-# ~cores-fold.  Binding is first-import-wins, so claim it as early as
-# possible in every process that imports kgray (drivers and Ray workers
-# alike).  Deliberately setdefault: an explicit user setting wins.
-_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# NOTE: importing the library mutates NO process-global state (ADVICE r3
+# #2).  The POLARS_MAX_THREADS=1 cap that keeps the exchange row hash from
+# oversubscribing Ray workers lives in stages/shuffle.py (setdefault
+# immediately before ITS OWN polars import — the consumer that needs it)
+# and in the process-owning entrypoints (__ray_entry__.py, bench.py,
+# tests/conftest.py).  A host application that imports kgray keeps its own
+# polars threading.
 
 __version__ = "0.1.0"

@@ -46,14 +46,19 @@ def _auto_concurrency() -> tuple[int, int]:
 def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
                link_concurrency=None):
     """pages Dataset -> canonical deduped ops Dataset (lazy)."""
+    from ..stages.shuffle import source_size_hint
+
     if alias_rows is None:
         alias_rows = aliases_table().to_pylist()
     if link_concurrency is None:
         link_concurrency = _auto_concurrency()
+    # exchange-size hint from the SOURCE read (free parquet-metadata
+    # estimate; selects the hash exchange for corpus-scale runs)
+    size_hint = source_size_hint(pages)
     raw = extract_stage(pages, verify_text=verify_text)
     linked = link_stage(raw, alias_rows, concurrency=link_concurrency)
     ops = assemble_stage(linked)
-    return canonicalize_stage(ops)
+    return canonicalize_stage(ops, size_hint_bytes=size_hint)
 
 
 def run_kg_pipeline_partitioned(paths, out_root: str, *,

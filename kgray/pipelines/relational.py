@@ -533,7 +533,10 @@ def sessionize(sf_dir: str):
             }
         )
 
-    return bucket_groupby(ev, ["user_id"], per_bucket)
+    from ..stages.shuffle import source_size_hint
+
+    return bucket_groupby(ev, ["user_id"], per_bucket,
+                          size_hint_bytes=source_size_hint(ev))
 
 
 # ---------------------------------------------------------------------------
@@ -612,8 +615,11 @@ def asof_join_events(sf_dir: str):
             }
         )
 
+    from ..stages.shuffle import source_size_hint
+
     return bucket_groupby(ev.map_batches(tag, batch_format="pyarrow"),
-                          ["user_id"], per_bucket)
+                          ["user_id"], per_bucket,
+                          size_hint_bytes=source_size_hint(ev))
 
 
 # ---------------------------------------------------------------------------
@@ -676,5 +682,8 @@ def range_join_events(sf_dir: str):
             }
         )
 
+    from ..stages.shuffle import source_size_hint
+
     return bucket_groupby(ev.map_batches(tag, batch_format="pyarrow"),
-                          ["user_id"], per_bucket)
+                          ["user_id"], per_bucket,
+                          size_hint_bytes=source_size_hint(ev))

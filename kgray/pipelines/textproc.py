@@ -116,7 +116,7 @@ def _md5_col(values: list[str]) -> pa.Array:
 # first (the distributed "set semantics" of SURVEY.md §2.7 applied to docs)
 # ---------------------------------------------------------------------------
 
-def _dedup_by_hash(docs, hash_fn):
+def _dedup_by_hash(docs, hash_fn, size_hint_bytes=None):
     from ..stages.shuffle import bucket_groupby
 
     def local(b: pa.Table) -> pa.Table:
@@ -146,14 +146,17 @@ def _dedup_by_hash(docs, hash_fn):
 
     return bucket_groupby(
         docs.map_batches(local, batch_format="pyarrow"),
-        ["text_hash"], reduce_bucket,
+        ["text_hash"], reduce_bucket, size_hint_bytes=size_hint_bytes,
     )
 
 
 def dedup_exact(sf_dir: str):
     """One surviving (min doc_id) row per distinct text, with dup count."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    return _dedup_by_hash(docs, lambda b: _md5_col(b["text"].to_pylist()))
+    from ..stages.shuffle import source_size_hint
+
+    return _dedup_by_hash(docs, lambda b: _md5_col(b["text"].to_pylist()),
+                          size_hint_bytes=source_size_hint(docs))
 
 
 def normalize_text_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -167,8 +170,11 @@ def normalize_text_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 def dedup_normalized(sf_dir: str):
     """Exact dedup over the canonicalized surface form (A4 analog)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
+    from ..stages.shuffle import source_size_hint
+
     return _dedup_by_hash(
-        docs, lambda b: _md5_col(normalize_text_col(b["text"]).to_pylist())
+        docs, lambda b: _md5_col(normalize_text_col(b["text"]).to_pylist()),
+        size_hint_bytes=source_size_hint(docs),
     )
 
 
@@ -293,10 +299,17 @@ def _jaccard_pairs_for_group(ids: np.ndarray, toks: list[np.ndarray]):
             i1 = min(i0 + _JACCARD_CHUNK_ROWS, m)
             rows = np.arange(i0, i1, dtype=np.int64)
             cand = col[None, :] > rows[:, None]
-            # size-ratio prune (necessary for jac >= t)
-            sa, sb = sizes[rows][:, None], sizes[None, :]
-            cand &= np.minimum(sa, sb) >= JACCARD_THRESHOLD * np.maximum(sa, sb)
-            cand &= (sa > 0) & (sb > 0)
+            # size-ratio prune (necessary for jac >= t), as two one-sided
+            # bounds: min(a,b) >= t*max(a,b) <=> b >= t*a AND a >= t*b.
+            # Broadcasting 1-D float bounds against the 1-D sizes vector
+            # materializes only 2-D BOOLEANS — no (chunk x m) int64
+            # temporaries (ADVICE r3 #4: the old minimum/maximum pair
+            # allocated GBs per chunk on multi-million-row hot buckets).
+            saf = sizes[rows].astype(np.float64)[:, None]
+            cand &= sizes[None, :] >= JACCARD_THRESHOLD * saf
+            cand &= JACCARD_THRESHOLD * sizes[None, :] <= saf
+            cand &= (sizes[rows] > 0)[:, None]
+            cand &= sizes[None, :] > 0
             ci, cj = np.nonzero(cand)
             if not len(ci):
                 continue
@@ -333,9 +346,12 @@ def _jaccard_pairs_cross(ids_a, toks_a, ids_b, toks_b):
     for i0 in range(0, ma, _JACCARD_CHUNK_ROWS):
         i1 = min(i0 + _JACCARD_CHUNK_ROWS, ma)
         rows = np.arange(i0, i1, dtype=np.int64)
-        sa, sb = sizes_a[rows][:, None], sizes_b[None, :]
-        cand = np.minimum(sa, sb) >= JACCARD_THRESHOLD * np.maximum(sa, sb)
-        cand &= (sa > 0) & (sb > 0)
+        # one-sided bounds, boolean-only temporaries (see the group path)
+        saf = sizes_a[rows].astype(np.float64)[:, None]
+        cand = sizes_b[None, :] >= JACCARD_THRESHOLD * saf
+        cand &= JACCARD_THRESHOLD * sizes_b[None, :] <= saf
+        cand &= (sizes_a[rows] > 0)[:, None]
+        cand &= sizes_b[None, :] > 0
         ci, cj = np.nonzero(cand)
         if not len(ci):
             continue
@@ -396,7 +412,7 @@ def ngram_jaccard_pairs(sf_dir: str):
     neardup_cosine block-pair shape, expressed through the exchange instead
     of spill files.  The shipped payload is the compact token-hash set, not
     text, so replication cost is bounded by blocks-per-row = O(group/8k)."""
-    from ..stages.shuffle import bucket_groupby
+    from ..stages.shuffle import bucket_groupby, source_size_hint
 
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
     counts = {r["source"]: r["count()"]
@@ -484,6 +500,7 @@ def ngram_jaccard_pairs(sf_dir: str):
     return bucket_groupby(
         docs.map_batches(tag, batch_format="pyarrow"),
         ["source", "pi", "pj"], score, spread=True,
+        size_hint_bytes=source_size_hint(docs),
     )
 
 
@@ -708,11 +725,12 @@ def minhash_lsh_pairs(sf_dir: str):
             }
         )
 
-    from ..stages.shuffle import bucket_groupby
+    from ..stages.shuffle import bucket_groupby, source_size_hint
 
     return bucket_groupby(
         docs.map_batches(to_buckets, batch_format="pyarrow"),
         ["bucket"], verify_buckets, spread=True,
+        size_hint_bytes=source_size_hint(docs),
     )
 
 
@@ -823,11 +841,12 @@ def simhash_pairs(sf_dir: str):
             }
         )
 
-    from ..stages.shuffle import bucket_groupby
+    from ..stages.shuffle import bucket_groupby, source_size_hint
 
     return bucket_groupby(
         docs.map_batches(to_buckets, batch_format="pyarrow"),
         ["bucket"], verify, spread=True,
+        size_hint_bytes=source_size_hint(docs),
     )
 
 

@@ -61,37 +61,32 @@ def kg_blocks(ops):
     cmds = ops.map_batches(_command_rows, batch_format="pyarrow")
 
     def render(t: pa.Table) -> pa.Table:
+        """Arrow-native per-page render (VERDICT r3 #6): one hash group_by
+        with list-agg over the command-sorted rows, header + body built with
+        vectorized binary joins — no to_pylist, no Python boundary loop."""
         t = t.sort_by([("src_url", "ascending"), ("command", "ascending")])
-        urls = t["src_url"].to_pylist()
-        ents = t["entity"].to_pylist()
-        olds = t["old_rev"].to_pylist()
-        revs = t["rev"].to_pylist()
-        tss = t["warc_ts_us"].to_pylist()
-        commands = t["command"].to_pylist()
-        out = {k: [] for k in
-               ("entity", "old_rev", "rev", "warc_ts_us", "n_commands", "block")}
-        start = 0
-        n = len(urls)
-        for end in range(1, n + 1):
-            if end < n and urls[end] == urls[start]:
-                continue
-            header = (f"changes for entity: {ents[start]} between old_revid: "
-                      f"{olds[start]} and new_revid: {revs[start]}")
-            out["entity"].append(ents[start])
-            out["old_rev"].append(olds[start])
-            out["rev"].append(revs[start])
-            out["warc_ts_us"].append(tss[start])
-            out["n_commands"].append(end - start)
-            out["block"].append(header + "\n\n" + "\n".join(commands[start:end]))
-            start = end
+        g = (
+            t.group_by(["src_url"], use_threads=False)
+            .aggregate([
+                ("entity", "first"), ("old_rev", "first"), ("rev", "first"),
+                ("warc_ts_us", "first"), ("command", "count"),
+                ("command", "list"),
+            ])
+        )
+        header = pc.binary_join_element_wise(
+            "changes for entity: ", g["entity_first"],
+            " between old_revid: ", pc.cast(g["old_rev_first"], pa.string()),
+            " and new_revid: ", pc.cast(g["rev_first"], pa.string()), "")
+        block = pc.binary_join_element_wise(
+            header, "\n\n", pc.binary_join(g["command_list"], "\n"), "")
         return pa.Table.from_pydict(
             {
-                "entity": pa.array(out["entity"], pa.string()),
-                "old_rev": pa.array(out["old_rev"], pa.int64()),
-                "rev": pa.array(out["rev"], pa.int64()),
-                "warc_ts_us": pa.array(out["warc_ts_us"], pa.int64()),
-                "n_commands": pa.array(out["n_commands"], pa.int64()),
-                "block": pa.array(out["block"], pa.string()),
+                "entity": g["entity_first"],
+                "old_rev": g["old_rev_first"],
+                "rev": g["rev_first"],
+                "warc_ts_us": g["warc_ts_us_first"],
+                "n_commands": pc.cast(g["command_count"], pa.int64()),
+                "block": pc.cast(block, pa.string()),
             }
         )
 

@@ -108,7 +108,8 @@ def local_dedup(batch: pa.Table) -> pa.Table:
     return _first_per_key(_with_key(batch)).drop_columns([_KEY])
 
 
-def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 4096):
+def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 4096,
+                       size_hint_bytes: int | None = None):
     """ops Dataset -> deduped ops Dataset (set semantics over triples).
 
     The ~250-byte composite key is NEVER shipped through the exchange: the
@@ -135,4 +136,4 @@ def canonicalize_stage(ops, *, batch_size: int = 65536, num_buckets: int = 4096)
     # by the full key itself, so one call per partition suffices (see
     # stages/shuffle.bucket_groupby for the per-group-overhead math).
     pre = ops.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
-    return exchange_map(pre, per_bucket)
+    return exchange_map(pre, per_bucket, size_hint_bytes=size_hint_bytes)

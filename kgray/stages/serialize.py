@@ -49,9 +49,18 @@ def serialize_batch(batch: pa.Table) -> pa.Table:
     pred = _arr(batch, "pred")
     obj = _arr(batch, "obj")
     ot = _arr(batch, "obj_type")
-    lang = _arr(batch, "lang")
-    dt = _arr(batch, "datatype")
+    # every producer in this engine uses '' sentinels, but a null that slips
+    # through would otherwise propagate: not_equal/if_else yield null,
+    # pc.any(bad) skips nulls, and the row's command comes out null instead
+    # of falling back to the scalar kernel (ADVICE r3 #3) — normalize here
+    lang = pc.fill_null(_arr(batch, "lang"), "")
+    dt = pc.fill_null(_arr(batch, "datatype"), "")
     op = _arr(batch, "op")
+    # a null in the identity columns is a producer bug the scalar path must
+    # surface (format_object/triple_to_command raise on None) — route it
+    null_bad = pc.is_null(subj)
+    for col in (pred, obj, ot, op):
+        null_bad = pc.or_(null_bad, pc.is_null(col))
 
     # --- object formatting (format_object restated vectorized) ---
     is_lit = pc.equal(ot, "literal")
@@ -89,6 +98,7 @@ def serialize_batch(batch: pa.Table) -> pa.Table:
         known_ns = pc.or_(known_ns, pc.starts_with(obj, f"<{ns}"))
     iri_ok = pc.or_(iri_ok, pc.and_(brack, pc.invert(known_ns)))
     bad = pc.or_(bad, pc.and_(pc.invert(is_lit), pc.invert(iri_ok)))
+    bad = pc.fill_null(pc.or_(bad, null_bad), True)
 
     if pc.any(bad).as_py():
         idx = np.flatnonzero(bad.to_numpy(zero_copy_only=False))

@@ -53,17 +53,25 @@ _SEP = "\x1f"
 # HASH_SHUFFLE repartition-by-key (map tasks partition by hash(bucket) and
 # push to aggregator actors that concat each partition — no sort barrier,
 # no range-boundary sampling, streaming fan-in); "sort" is the legacy
-# sort(__bucket) exchange kept as fallback and as the A/B control for the
-# scaling campaign.  Selected per-call via env so a campaign can flip it
-# without code edits.
+# sort(__bucket) exchange.  Default is SIZE-ADAPTIVE ("auto"): hash above
+# _HASH_MIN_BYTES of estimated input, sort below — measured on the 40k-page
+# scaling corpus the hash exchange is 20-25% faster at 32 cpus (it removes
+# the width-dependent sort-reduce fan-in, VERDICT r3 #1) but pays a fixed
+# ~3-5 s aggregator-pool spawn per exchange that dominates small queries
+# (interleaved A/B: t32 62.7/94.6 s hash vs 83.5/119.1 s sort; sf0.1
+# headline total 77.7 s hash vs 55.0 s sort).  KGRAY_EXCHANGE=hash|sort
+# overrides for A/B campaigns.
 _EXCHANGE_ENV = "KGRAY_EXCHANGE"
-# Scheduler CPU reservation budget for the aggregator-actor pool as a
-# fraction of cluster CPUs.  Round-3's HASH_SHUFFLE probe stalled because
-# the default reservation — min(1, (CPU/2)/partitions) per partition — put
-# 16 of 32 cpus on aggregators and starved the extract/link actor pool.
-# 1/8th of the cluster is enough for concat-only aggregators (they are
-# bandwidth-, not cpu-bound) and leaves the task/actor pools whole.
-_AGG_CPU_FRACTION = 8
+# auto mode: estimated in-memory input bytes above which an exchange takes
+# the hash path (the fixed aggregator spawn amortizes; the sort fan-in it
+# replaces grows with input while the spawn cost does not)
+_HASH_MIN_BYTES = 512 * 1024 * 1024
+# Scheduler CPU reservation budget for ONE exchange's aggregator-actor
+# pool as a fraction of cluster CPUs.  Round-3's HASH_SHUFFLE probe stalled
+# because the default reservation — min(1, (CPU/2)/partitions) per
+# partition — put 16 of 32 cpus on aggregators and starved the extract/link
+# actor pool; see _tune_hash_shuffle for the deadlock arithmetic.
+_AGG_CPU_FRACTION = 16
 
 try:  # Rust-vectorized row hash; seeded => deterministic across the
     # processes of one session (all an exchange needs).  polars must run
@@ -200,23 +208,62 @@ def default_exchange_partitions(cpus: int | None = None) -> int:
     return min(1024, max(64, 2 * cpus))
 
 
-def exchange_mode() -> str:
-    return os.environ.get(_EXCHANGE_ENV, "hash")
+def exchange_mode(size_hint_bytes: int | None = None) -> str:
+    """Physical exchange selection: env override, else size-adaptive.
+
+    ``size_hint_bytes`` is the caller's estimate of the exchange input
+    (``Dataset.size_bytes()`` on the SOURCE read — free parquet-metadata
+    arithmetic there; on a mapped dataset it would execute the pipeline,
+    so callers hint from the read, not from the tagged stream)."""
+    mode = os.environ.get(_EXCHANGE_ENV, "auto")
+    if mode != "auto":
+        return mode
+    if size_hint_bytes is not None and size_hint_bytes >= _HASH_MIN_BYTES:
+        return "hash"
+    return "sort"
+
+
+def source_size_hint(ds) -> int | None:
+    """Best-effort input-size estimate for exchange_mode.
+
+    Only answers when the estimate is FREE: a bare read (parquet metadata
+    arithmetic) or an already-materialized dataset.  On a lazy transformed
+    dataset ``size_bytes()`` would execute the pipeline, so this returns
+    None there (auto mode then picks the sort exchange — the conservative
+    small-input default)."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        dag = ds._logical_plan.dag
+        if not (isinstance(dag, Read) or ds._plan.has_computed_output()):
+            return None
+        return ds.size_bytes()
+    except Exception:  # pragma: no cover - ray internals moved
+        return None
 
 
 def _tune_hash_shuffle(ctx, num_partitions: int, cpus: int) -> None:
     """Bound the aggregator pool's scheduler footprint on ``ctx`` (the
     DATASET's own context copy — the process-global DataContext is never
-    touched, so unrelated pipelines keep the default sort strategy)."""
+    touched, so unrelated pipelines keep the default sort strategy).
+
+    The reservation must stay SMALL: aggregator actors only concat arriving
+    partition blocks (bandwidth-bound, mostly idle), but their num_cpus is
+    reserved for the life of the shuffle op.  A pipeline can hold TWO live
+    exchanges plus a linker actor pool; if actor reservations ever sum to
+    the node's CPUs, the shuffle's own map tasks (num_cpus=1 each) can
+    never schedule and the pipeline deadlocks — measured at num_cpus=4
+    with the previous max(1.0, cpus/8) budget (2 exchanges x 1.0 + 2 pool
+    actors = 4/4 reserved, zero task slots)."""
     from ray.data.context import ShuffleStrategy
 
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    budget = max(1.0, cpus / _AGG_CPU_FRACTION)
+    budget = max(0.2, cpus / _AGG_CPU_FRACTION)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
         budget / num_partitions)
-    # fewer, beefier aggregators: less actor overhead and one contiguous
-    # memory reservation per actor instead of 64 slivers
-    ctx.max_hash_shuffle_aggregators = max(4, min(16, cpus // 2))
+    # few aggregators: less actor overhead, and the per-actor reservation
+    # (budget/num_aggregators) stays a rounding error in the task budget
+    ctx.max_hash_shuffle_aggregators = max(2, min(8, cpus // 4))
 
 
 def exchange_map(
@@ -224,6 +271,7 @@ def exchange_map(
     per_partition: Callable[[pa.Table], pa.Table],
     *,
     num_partitions: int | None = None,
+    size_hint_bytes: int | None = None,
 ):
     """Co-locate equal ``__bucket`` values and run ``per_partition`` exactly
     once over each co-located partition (a union of whole buckets, Arrow
@@ -247,7 +295,7 @@ def exchange_map(
     pinned by the same regression test."""
     if num_partitions is None:
         num_partitions = default_exchange_partitions()
-    if exchange_mode() == "hash":
+    if exchange_mode(size_hint_bytes) == "hash":
         _tune_hash_shuffle(tagged.context, num_partitions, _cluster_cpus())
         return tagged.repartition(
             num_partitions, keys=[BUCKET_COL]
@@ -265,6 +313,7 @@ def bucket_groupby(
     num_buckets: int = 4096,
     spread: bool = False,
     spread_blocks: int | None = None,
+    size_hint_bytes: int | None = None,
 ):
     """Hash-partition ``ds`` by ``key_cols`` and apply vectorized ``fn`` to
     each bucket (all rows of a bucket in one Arrow table, ``__bucket``
@@ -298,9 +347,10 @@ def bucket_groupby(
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     if spread_blocks is None:
         spread_blocks = default_exchange_partitions()
-    if spread and exchange_mode() != "hash":
+    if spread and exchange_mode(size_hint_bytes) != "hash":
         tagged = tagged.repartition(spread_blocks)
-    return exchange_map(tagged, per_partition, num_partitions=spread_blocks)
+    return exchange_map(tagged, per_partition, num_partitions=spread_blocks,
+                        size_hint_bytes=size_hint_bytes)
 
 
 def arrow_min_dedup(
