@@ -56,17 +56,46 @@ def _consume(res) -> int:
     return 0
 
 
-def run_queries(names: list[str], sf_dir: str) -> tuple[dict, dict]:
+def _membw_gbps(size_mb: int = 256, repeats: int = 3) -> float:
+    """In-run memory-bandwidth control (VERDICT r3 #2): single-thread
+    streaming add over a buffer far beyond cache.  This box's co-tenant
+    noise has a BANDWIDTH mode invisible to the CPU spin control
+    (cache-resident spins scale at 0.98 while matmul/string-heavy stages
+    run 2-3x slow — BASELINE.md round 3); emitting GB/s beside every
+    timing block makes a degraded window visible in the JSON itself."""
+    import numpy as np
+
+    a = np.ones(size_mb * 1024 * 1024 // 8)
+    b = np.empty_like(a)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.add(a, 1.0, out=b)
+        dt = time.perf_counter() - t0
+        best = max(best, (a.nbytes * 2) / dt / 1e9)
+    return round(best, 2)
+
+
+def run_queries(names: list[str], sf_dir: str,
+                runs: int = 2) -> tuple[dict, dict, dict]:
+    """Best-of-``runs`` per query within one bench window (VERDICT r3 #2:
+    a single sample on this host conflates code and co-tenant phase; the
+    second run re-uses warm corpus caches so the pair straddles less than
+    a full phase).  Returns (best_times, rows, all_runs)."""
     import __ray_entry__ as e
 
     qs = e.queries()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    all_runs: dict[str, list] = {name: [] for name in names}
+    for attempt in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            rows[name] = _consume(qs[name](sf_dir))
+            all_runs[name].append(round(time.perf_counter() - t0, 3))
     for name in names:
-        t0 = time.perf_counter()
-        rows[name] = _consume(qs[name](sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times, rows
+        times[name] = min(all_runs[name])
+    return times, rows, all_runs
 
 
 def _init_ray(num_cpus: int, block_mb: int = 32) -> None:
@@ -128,10 +157,12 @@ def _paired_round(lo: int, hi: int, pages: int, richness: int,
     parallel ceiling are measured in the same time window.  Mixing phases
     (best-of-per-level across windows) makes the ratio meaningless on this
     shared box — VERDICT r2's r2-f lesson."""
+    membw_pre = _membw_gbps()
     pre = {n: _spin_throughput(n) for n in (lo, hi)}
     order = (hi, lo) if hi_first else (lo, hi)
     runs = {n: _single_run(n, pages, richness) for n in order}
     post = {n: _spin_throughput(n) for n in (lo, hi)}
+    membw_post = _membw_gbps()
     thr = {n: runs[n]["rows"] / runs[n]["sec"] for n in (lo, hi)}
     eff = (thr[hi] / thr[lo]) / (hi / lo)
     ceil_pre = (pre[hi] / pre[lo]) / (hi / lo)
@@ -145,6 +176,8 @@ def _paired_round(lo: int, hi: int, pages: int, richness: int,
         "spin_ceiling_pre": round(ceil_pre, 3),
         "spin_ceiling_post": round(ceil_post, 3),
         "spin_ceiling_min": round(min(ceil_pre, ceil_post), 3),
+        "membw_gbps_pre": membw_pre,
+        "membw_gbps_post": membw_post,
         "normalized_efficiency": round(
             min(1.0, eff / max(ceil_pre, ceil_post)), 3),
     }
@@ -202,9 +235,14 @@ def _scaling_sample(on_round=None) -> dict:
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _init_ray(NUM_CPUS)
+    membw_pre = _membw_gbps()
     t0 = time.perf_counter()
-    times, rows = run_queries(HEADLINE, SF_DIR)
-    total = round(time.perf_counter() - t0, 3)
+    times, rows, all_runs = run_queries(HEADLINE, SF_DIR)
+    wall = round(time.perf_counter() - t0, 3)
+    membw_post = _membw_gbps()
+    # headline value = best-of-2 SUM (the comparable per-code-version
+    # number); wall-clock of both passes kept alongside
+    total = round(sum(times.values()), 3)
     kg_rows = rows.get("kg_triples", 0)
     kg_sec = times.get("kg_triples", 0.0) or 1e-9
     result = {
@@ -212,6 +250,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_all_runs": all_runs,
+        "bench_wall_2runs": wall,
+        "membw_gbps_pre": membw_pre,
+        "membw_gbps_post": membw_post,
         "rows": rows,
         "kg_triples_per_sec": round(kg_rows / kg_sec, 1),
         "sf": SF_DIR,
