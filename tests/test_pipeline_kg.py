@@ -169,3 +169,49 @@ def test_linker_skew_page(ray_session, tmp_path):
     # context keywords (composer/organ/baroque) disambiguate Paris -> the
     # composer sense Q1339, not the default-prior city Q90
     assert set(mentions["obj"]) == {"wd:Q1339"}
+
+
+def test_partitioned_run_resume_at_width(ray_session, tmp_path):
+    """VERDICT r3 #8 (slow, ~1-2 min): >=16-shard partitioned run with a
+    killed partition — resume must skip every finished partition, recompute
+    only the victim, and the resumed run's GLOBAL triple set must equal an
+    uninterrupted run's."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from kgray.fixtures import write_pages_corpus
+    from kgray.pipelines.kg import run_kg_pipeline_partitioned
+
+    paths = write_pages_corpus(str(tmp_path / "pages"), 800, shard_rows=50)
+    assert len(paths) >= 16
+
+    def triple_set(root):
+        t = pq.read_table(
+            sorted(glob.glob(os.path.join(root, "part-*", "*.parquet"))))
+        cols = ["op", "subj", "pred", "obj", "lang", "datatype", "obj_type"]
+        return set(zip(*[t[c].to_pylist() for c in cols]))
+
+    ref_out = str(tmp_path / "ref")
+    run_kg_pipeline_partitioned(paths, ref_out, shards_per_partition=1)
+
+    out = str(tmp_path / "run")
+    m1 = run_kg_pipeline_partitioned(paths, out, shards_per_partition=1)
+    assert len(m1) == 16
+
+    # simulate a partition killed mid-write: data gone, stray tmp left
+    victim = sorted(m1)[5]
+    shutil.rmtree(victim)
+    os.makedirs(victim)
+    with open(os.path.join(victim, "_manifest.json.tmp"), "w") as f:
+        f.write("{")  # torn write
+
+    m2 = run_kg_pipeline_partitioned(paths, out, shards_per_partition=1)
+    assert not m2[victim].get("resumed")
+    resumed = [d for d, m in m2.items() if m.get("resumed")]
+    assert len(resumed) == 15
+    assert m2[victim]["rows"] == m1[victim]["rows"]
+    assert triple_set(out) == triple_set(ref_out)
