@@ -261,9 +261,13 @@ def _tune_hash_shuffle(ctx, num_partitions: int, cpus: int) -> None:
     budget = max(0.2, cpus / _AGG_CPU_FRACTION)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
         budget / num_partitions)
-    # few aggregators: less actor overhead, and the per-actor reservation
-    # (budget/num_aggregators) stays a rounding error in the task budget
-    ctx.max_hash_shuffle_aggregators = max(2, min(8, cpus // 4))
+    # one aggregator per core (each is a single concat thread): the fan-in
+    # width IS the aggregator count — 8 actors measured 815 s on the 160k
+    # t32 run (8-wide concat wall) where the sort exchange's full-width
+    # reduce ran 270-650 s.  The RESERVATION stays tiny (budget/partitions
+    # x partitions-per-actor), so task pools keep their CPUs; it's the
+    # actor COUNT that buys parallel fan-in.
+    ctx.max_hash_shuffle_aggregators = max(2, min(64, cpus))
 
 
 def exchange_map(
