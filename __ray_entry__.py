@@ -378,7 +378,7 @@ def oracle_sql() -> dict[str, str]:
 
     SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
     from kgray.pipelines.simsearch import N_QUERIES, NEARDUP_SIM, TOP_K
-    from kgray.pipelines.textproc import JACCARD_THRESHOLD
+    from kgray.pipelines.textproc import JACCARD_THRESHOLD, WS_PATTERN_SQL
 
     # The KG oracles read the kernel-produced raw-ops parquet (the shared
     # table; see fixtures.raw_ops_table).  Ensure it exists for the driver's
@@ -606,9 +606,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH toks AS (
+                -- tokenizer restated on the SHARED explicit whitespace
+                -- class (textproc.WS_PATTERN_SQL): DuckDB RE2's \\s is
+                -- narrower than the pipeline's Python-\\s set (ADVICE r4
+                -- #1), and empty fragments from leading/trailing
+                -- whitespace are filtered exactly like the pipeline does
                 SELECT doc_id, source,
-                       list_distinct(string_split_regex(trim(text), '\\s+')) AS t
-                FROM documents WHERE trim(text) <> '')
+                       list_distinct(list_filter(
+                           string_split_regex(text, '{WS_PATTERN_SQL}'),
+                           x -> x <> '')) AS t
+                FROM documents)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    length(list_intersect(a.t, b.t)) AS inter_cnt,
                    length(list_distinct(list_concat(a.t, b.t))) AS union_cnt

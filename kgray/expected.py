@@ -37,9 +37,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_VERSION = "v2"  # v2: fingerprint token hash = shared vectorized
-#     exchange hash (kgray/pipelines/textproc._fp_token_hashes), replacing
-#     per-token blake2b
+EXPECTED_VERSION = "v3"  # v3: ALL dedup token hashes (minhash/simhash, not
+#     just fingerprints) = the shared vectorized exchange hash
+#     (stages/shuffle._hash_key via textproc._token_hashes), replacing
+#     per-token blake2b (VERDICT r4 #4); v2: fingerprint token hash only
 _ROOT = "/tmp/kgray_expected"
 # scale tag -> orders row count (the discriminator the oracle SQL can see)
 SCALE_KEY = {"sf0.001": 1500, "sf0.01": 15000}
@@ -70,25 +71,24 @@ def expected_glob(name: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _tok_hash(tok: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-    )
-
-
 def _token_set(text: str) -> set[str]:
     return set(_WS_RE.split(text.strip())) - {""}
 
 
 def _simhash_scalar(tokens: set[str]) -> int:
-    """Per-token per-bit vote loop.  The pipeline's vectorized layout puts
+    """Per-hash per-bit vote loop.  The pipeline's vectorized layout puts
     vote k (for hash bit k, LSB) at bit 63-k of the packed signature —
-    restated here arithmetically."""
+    restated here arithmetically.  Token-hash VALUES are shared with the
+    pipeline by design (the MinHash rule, module docstring): since VERDICT
+    r4 #4 every dedup token hash routes through the one vectorized column
+    hash, so this check targets tokenization + voting + packing, not the
+    hash function."""
+    from .pipelines.textproc import _token_hashes
+
     if not tokens:
         return 0
     votes = [0] * 64
-    for t in tokens:
-        h = _tok_hash(t)
+    for h in (int(v) for v in _token_hashes(tokens)):
         for k in range(64):
             votes[k] += 1 if (h >> k) & 1 else -1
     sig = 0
@@ -389,10 +389,23 @@ def _params_fingerprint() -> str:
     from .pipelines import simsearch as ss
     from .pipelines import textproc as tp
 
+    # Sentinel value of the shared token hash: captures the hash
+    # IMPLEMENTATION (polars hash_rows vs numpy fallback, and any polars
+    # hash-algorithm change across versions) in the cache key, so an
+    # implementation swap rotates the /tmp cache instead of surfacing as a
+    # spurious oracle mismatch (ADVICE r4 #2).
+    try:
+        import polars as _pl
+        _plv = _pl.__version__
+    except ImportError:  # pragma: no cover - polars ships in this env
+        _plv = "none"
+    hash_sentinel = int(tp._token_hashes(["kgray-hash-sentinel"])[0])
+
     parts = (
         tp.JACCARD_THRESHOLD, tp.MINHASH_PERMS, tp.LSH_BANDS,
         tp.SIMHASH_BANDS, tp.SIMHASH_MAX_HAMMING,
-        tp._FP_BASE, tp._FP_MOD,
+        tp._FP_BASE, tp._FP_MOD, tp.WS_CHARS,
+        hash_sentinel, _plv,
         ss.IVF_CLUSTERS, ss.N_QUERIES, ss.TOP_K, ss._TRAIN_SAMPLE,
         mm.HIST_BINS, tuple(sorted(mm.MEDIA_N.items())),
         tuple(sorted(mm.SMALL_MEDIA_N.items())),

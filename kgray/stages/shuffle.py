@@ -357,6 +357,33 @@ def bucket_groupby(
                         size_hint_bytes=size_hint_bytes)
 
 
+def dict_encode_columns(batch: pa.Table, cols: Sequence[str]) -> pa.Table:
+    """Dictionary-encode ``cols`` so repeated string values ship through an
+    exchange as int32 indices + one small dictionary per block, not one copy
+    of the string per row (VERDICT r4 #2: exchange fan-in VOLUME was the
+    width-resistant scaling residual; low-cardinality columns like ``pred``
+    / ``lang`` / ``op`` compress 10-50x).  Arrow IPC — the object-store
+    block format — serializes dictionary arrays natively, so the saving is
+    real shuffle bytes, not just heap."""
+    for c in cols:
+        col = batch[c]
+        if not pa.types.is_dictionary(col.type):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc.dictionary_encode(col))
+    return batch
+
+
+def dict_decode_columns(batch: pa.Table) -> pa.Table:
+    """Decode every dictionary column back to its value type (the inverse
+    of dict_encode_columns, applied on the receive side of an exchange so
+    per-bucket kernels and downstream consumers see plain columns)."""
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_dictionary(f.type):
+            batch = batch.set_column(
+                i, f.name, pc.cast(batch[f.name], f.type.value_type))
+    return batch
+
+
 def arrow_min_dedup(
     key_cols: Sequence[str], lineage_cols: Sequence[str]
 ) -> Callable[[pa.Table], pa.Table]:

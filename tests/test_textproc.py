@@ -212,3 +212,54 @@ def test_ngram_jaccard_hot_source_splits_into_block_tasks(ray_session, tmp_path,
     assert _pairs(split) == baseline
     # exactly-once: no duplicate pair rows across block tasks
     assert not split.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_ws_class_equals_python_backslash_s():
+    """WS_CHARS must be exactly Python re's \\s set (str mode): the Arrow
+    RE2 tokenizer, the Python tokenizer, and the DuckDB oracle all split on
+    this explicit class (ADVICE r4 #1)."""
+    import re
+
+    from kgray.pipelines.textproc import WS_CHARS
+
+    expect = {chr(c) for c in range(0x11000) if re.match(r"\s", chr(c))}
+    assert set(WS_CHARS) == expect
+    assert len(WS_CHARS) == len(set(WS_CHARS))
+
+
+def test_fingerprint_unicode_whitespace_matches_oracle():
+    """Docs containing NBSP/\\x0b/U+2028 (whitespace Python's \\s matches
+    but RE2's \\s does not) must fingerprint identically in the vectorized
+    pipeline kernel and the scalar oracle (ADVICE r4 #1)."""
+    import pyarrow as pa
+
+    from kgray.expected import _fingerprint_scalar
+    from kgray.pipelines.textproc import _fingerprint_col
+
+    docs = [
+        "a\xa0b\x0bc d e f g",
+        "one two three four five six",
+        "\x1ctab\x1dsep\x1eand\x1fmore tokens here now",
+        "plain ascii control case",
+        "\xa0",  # whitespace-only -> empty fingerprint sentinel
+    ]
+    got = _fingerprint_col(pa.array(docs, pa.string()), 4).to_pylist()
+    want = [_fingerprint_scalar(t) for t in docs]
+    assert got == want
+
+
+def test_batch_token_hashes_matches_scalar():
+    """The batched tokenize+hash pass must produce, per doc, exactly the
+    sorted-distinct hash array of the scalar reference path (VERDICT r4
+    #4: both route through the one vectorized column hash)."""
+    import numpy as np
+
+    from kgray.pipelines.textproc import (
+        _batch_token_hashes, _token_hashes, _token_sets,
+    )
+
+    texts = ["hello world hello", "a\xa0b　c", "", "   \t ", "x y z x"]
+    batch = _batch_token_hashes(texts)
+    for t, h in zip(texts, batch):
+        ref = _token_hashes(_token_sets([t])[0])
+        assert np.array_equal(h, ref), t
