@@ -428,3 +428,73 @@ class TestCanonicalizeSurvivor:
 
         t = self._table().slice(0, 0)
         assert len(_first_per_key(_with_key(t))) == 0
+
+
+class TestFirstPerKeyHashed:
+    """The hash-grouped dedup path (round 5) must produce EXACTLY the row
+    set of the injective key-string path — including under forced 64-bit
+    hash collisions, which the per-row representative guard must separate
+    via the exact fallback."""
+
+    def _table(self):
+        return TestCanonicalizeSurvivor._table(self)
+
+    def test_matches_exact_path(self):
+        import pyarrow as pa
+
+        from kgray.stages.canonicalize import (
+            KEY_COLS, _KEY_HASH, _first_per_key, _first_per_key_hashed,
+            _with_key,
+        )
+        from kgray.stages.shuffle import _hash_key
+
+        t = self._table()
+        exact = _first_per_key(_with_key(t)).drop_columns(["__triple_key"])
+        th = t.append_column(_KEY_HASH,
+                             pa.array(_hash_key(t, list(KEY_COLS))))
+        hashed = _first_per_key_hashed(th).drop_columns([_KEY_HASH])
+        canon = lambda r: tuple(sorted(r.items()))
+        assert (sorted(map(canon, hashed.to_pylist()))
+                == sorted(map(canon, exact.to_pylist())))
+
+    def test_forced_collision_separated_exactly(self):
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+
+        from kgray.stages.canonicalize import (
+            KEY_COLS, _KEY_HASH, _first_per_key, _first_per_key_hashed,
+            _with_key,
+        )
+
+        # 6 rows over 3 DISTINCT keys, all crammed into 2 hash values so
+        # each hash group holds two different keys
+        rows = []
+        for i in range(6):
+            rows.append(dict(
+                op="INSERT", subj=f"wd:Q{i % 3}", pred="p:P1",
+                obj=f"val{i % 3}", lang="", datatype="", obj_type="iri",
+                src_url=f"https://x/{i}",
+                warc_ts=dt.datetime(2024, 1, 1, second=i % 2),
+            ))
+        t = pa.Table.from_pylist(rows)
+        th = t.append_column(
+            _KEY_HASH, pa.array(np.array([7, 7, 9, 9, 7, 9], np.uint64)))
+        hashed = _first_per_key_hashed(th).drop_columns([_KEY_HASH])
+        exact = _first_per_key(_with_key(t)).drop_columns(["__triple_key"])
+        canon = lambda r: tuple(sorted(r.items()))
+        assert (sorted(map(canon, hashed.to_pylist()))
+                == sorted(map(canon, exact.to_pylist())))
+        assert len(hashed) == 3  # one survivor per DISTINCT key
+
+    def test_empty(self):
+        import pyarrow as pa
+
+        from kgray.stages.canonicalize import (
+            _KEY_HASH, _first_per_key_hashed,
+        )
+
+        t = self._table().slice(0, 0).append_column(
+            _KEY_HASH, pa.array([], pa.uint64()))
+        assert len(_first_per_key_hashed(t)) == 0
