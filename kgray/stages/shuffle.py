@@ -202,7 +202,11 @@ def _cluster_cpus() -> int:
 def default_exchange_partitions(cpus: int | None = None) -> int:
     """Reduce width of an exchange: ~2 partitions per cluster core, floored
     at 64 (enough waves to absorb per-partition variance) and capped at 1024
-    (keeps O(maps x partitions) shuffle-object metadata bounded)."""
+    (keeps O(maps x partitions) shuffle-object metadata bounded).
+    ``KGRAY_EXCHANGE_PARTS`` overrides for A/B campaigns."""
+    env = os.environ.get("KGRAY_EXCHANGE_PARTS")
+    if env:
+        return int(env)
     if cpus is None:
         cpus = _cluster_cpus()
     return min(1024, max(64, 2 * cpus))
