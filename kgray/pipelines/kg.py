@@ -44,7 +44,7 @@ def _auto_concurrency() -> tuple[int, int]:
 
 
 def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
-               link_concurrency=None):
+               link_concurrency=None, metrics_actor=None):
     """pages Dataset -> canonical deduped ops Dataset (lazy)."""
     from ..stages.shuffle import source_size_hint
 
@@ -56,7 +56,8 @@ def kg_triples(pages, alias_rows=None, *, verify_text: bool = True,
     # estimate; selects the hash exchange for corpus-scale runs)
     size_hint = source_size_hint(pages)
     raw = extract_stage(pages, verify_text=verify_text)
-    linked = link_stage(raw, alias_rows, concurrency=link_concurrency)
+    linked = link_stage(raw, alias_rows, concurrency=link_concurrency,
+                        metrics_actor=metrics_actor)
     ops = assemble_stage(linked)
     return canonicalize_stage(ops, size_hint_bytes=size_hint)
 
@@ -109,8 +110,17 @@ def run_kg_pipeline(paths, out_dir: str | None = None, *, alias_rows=None,
     composition), else the write manifest dict.
     """
     pages = read_pages(paths)
+    metrics_actor = None
+    if out_dir is not None:
+        # partition-scoped accumulator for counters that are invisible in
+        # the OUTPUT (the linker drops unresolved free-text blocks): the
+        # manifest's link block (north rule: link metrics per partition)
+        from ..stages.metrics import MetricsAccumulator
+
+        metrics_actor = MetricsAccumulator.remote()
     ops = kg_triples(pages, alias_rows, verify_text=verify_text,
-                     link_concurrency=link_concurrency)
+                     link_concurrency=link_concurrency,
+                     metrics_actor=metrics_actor)
     if out_dir is None:
         return ops
     return materialize_stage(
@@ -118,4 +128,5 @@ def run_kg_pipeline(paths, out_dir: str | None = None, *, alias_rows=None,
         out_dir,
         sort_key=("pred", "subj", "obj"),
         inputs=[str(p) for p in (paths if isinstance(paths, (list, tuple)) else [paths])],
+        metrics_actor=metrics_actor,
     )

@@ -30,10 +30,11 @@ class LinkerActor:
     compiled automaton (the reference's per-run HTTP caches ST1 become real
     local state)."""
 
-    def __init__(self, alias_ref):
+    def __init__(self, alias_ref, metrics_actor=None):
         alias_rows = ray.get(alias_ref) if not isinstance(alias_ref, list) else alias_ref
         self.index = build_alias_index(alias_rows)
         self.pattern = compile_surface_pattern(list(self.index))
+        self.metrics = metrics_actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # vectorized dispatch mask (ADVICE/VERDICT r3 #7): pc kernels for
@@ -66,21 +67,30 @@ class LinkerActor:
                 for f in ("prop", "vtype", "lang", "rank", "parent_prop", "parent_value", "op"):
                     cols[f].append("")
         linked = pa.Table.from_pydict(cols, schema=OUT_SCHEMA)
+        if self.metrics is not None:
+            # blocking flush: sub-ms actor RTT per batch, and snapshot()
+            # after pipeline execution can never race a queued delta
+            ray.get(self.metrics.add_many.remote(
+                {"mention_blocks": len(mentions),
+                 "mentions_linked": len(linked)}))
         return pa.concat_tables([passthrough.cast(OUT_SCHEMA), linked])
 
 
 def link_stage(raw_claims, alias_rows: list[dict], *, concurrency=(1, 8),
-               batch_size: int = 128, num_cpus: float = 1):
+               batch_size: int = 128, num_cpus: float = 1,
+               metrics_actor=None):
     """raw-claims Dataset -> raw-claims Dataset with mentions resolved.
 
     ``alias_rows`` is broadcast once via ``ray.put``; actors fetch it in
     ``__init__``.  ``concurrency`` bounds the pool so it shares the node with
     the extract and assemble stages instead of starving them (SURVEY.md §4).
+    ``metrics_actor`` (optional ``MetricsAccumulator`` handle) receives
+    per-batch mention counters for the partition's lineage manifest.
     """
     alias_ref = ray.put(alias_rows)
     return raw_claims.map_batches(
         LinkerActor,
-        fn_constructor_args=(alias_ref,),
+        fn_constructor_args=(alias_ref, metrics_actor),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

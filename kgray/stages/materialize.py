@@ -73,6 +73,7 @@ def materialize_stage(
     extra_metrics: dict | None = None,
     min_rows_per_file: int = 100_000,
     doc_col: str | None = "src_url",
+    metrics_actor=None,
 ):
     """Sort, write, manifest.  Returns the manifest dict.
 
@@ -99,6 +100,17 @@ def materialize_stage(
     files = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
     rows = sum(pq.read_metadata(os.path.join(out_dir, p)).num_rows for p in files)
     metrics = dict(extra_metrics or {})
+    if metrics_actor is not None:
+        # stage-side accumulator counters (e.g. the linker's mention
+        # counts — invisible in the output); the write above has executed
+        # the pipeline, and stage flushes are blocking, so the snapshot is
+        # complete.  north rule: link metrics in every partition manifest.
+        import ray as _ray
+
+        from .metrics import link_metrics
+
+        metrics["link"] = link_metrics(
+            _ray.get(metrics_actor.snapshot.remote()))
     if (
         doc_col is not None
         and files

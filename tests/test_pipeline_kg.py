@@ -54,6 +54,13 @@ def test_materialize_and_resume(ray_session, small_corpus, tmp_path):
 
     preds = t["pred"].to_pylist()
     assert preds == sorted(preds)
+    # link counters from the accumulator side channel (north rule: link
+    # metrics in the partition manifest; unresolved blocks are invisible
+    # in the output, so only the stage-side counters can know them)
+    link = m1["metrics"]["link"]
+    assert link["mention_blocks"] > 0 and link["mentions_linked"] > 0
+    assert link["mentions_per_block"] == round(
+        link["mentions_linked"] / link["mention_blocks"], 4)
     # resume: second run with an existing valid manifest skips the write
     m2 = run_kg_pipeline(small_corpus, str(out), link_concurrency=2)
     assert m2 == m1
