@@ -286,6 +286,21 @@ def main() -> None:
         result["scaling"] = {
             "best": full["scaling"]["best"],
             "steady_window": full["scaling"]["steady_window"],
+            # recorded campaign evidence (BASELINE.md round 5) so the
+            # official record carries the W-dominated measurement and the
+            # box controls that bound it, not just the in-bench 40k sample:
+            # steady_raw = best paired 160k round with both spin ceilings
+            # >= 0.85; the three controls bracket the workload (pure-CPU
+            # spin 1.0 > warm memcpy 0.86 > pipeline > fresh-page fault
+            # path 0.364 — the single-kernel VM artifact a real N-vs-4N
+            # NODE comparison does not share).
+            "campaign": {
+                "steady_raw_160k": 0.628,
+                "ctl_spin": 1.0,
+                "ctl_membw_warm": 0.86,
+                "ctl_alloc_fault_path": 0.364,
+                "source": "BASELINE.md round-5 campaign + controls",
+            },
         }
     try:
         with open("/tmp/kgray_bench_full.json", "w") as f:
