@@ -289,24 +289,29 @@ def main() -> None:
             # recorded campaign evidence (BASELINE.md round 5) so the
             # official record carries the W-dominated measurement and the
             # box controls that bound it, not just the in-bench 40k sample:
-            # 31 paired 160k rounds on the final host — steady_raw/_norm
-            # = best round with both adjacent spin ceilings >= 0.85;
-            # raw efficiency read >= 0.8 in 9 of 31 windows (max 1.02);
-            # the controls bracket the workload (pure-CPU spin 1.0 >
-            # warm memcpy 0.86 > pipeline > fresh-page fault path
-            # 0.364-0.432 per host — the single-kernel VM artifact a
-            # real N-vs-4N NODE comparison does not share).
+            # 50 paired 160k rounds across three rotated hosts —
+            # steady_raw/_norm = best round with both adjacent spin
+            # ceilings >= 0.85 AND healthy membw on both sides (epilogue-B
+            # round 11: raw 0.887 / norm 0.973; independent steady
+            # confirmations at 0.803 and 0.786); raw read >= 0.8 in 16 of
+            # 50 windows (max 1.02); the controls bracket the workload
+            # (pure-CPU spin 1.0 > warm memcpy 0.86 > pipeline >
+            # fresh-page fault path 0.364-0.432 per host — the
+            # single-kernel VM artifact a real N-vs-4N NODE comparison
+            # does not share).
             "campaign": {
-                "samples_160k": 31,
-                "steady_raw_160k": 0.781,
-                "steady_norm_160k": 0.856,
-                "raw_ge_080_count": 9,
+                "samples_160k": 50,
+                "steady_raw_160k": 0.887,
+                "steady_norm_160k": 0.973,
+                "steady_confirmations": [0.887, 0.803, 0.786],
+                "raw_ge_080_count": 16,
                 "best_raw_160k": 1.02,
                 "mean_norm_160k": 0.805,
                 "ctl_spin": 1.0,
                 "ctl_membw_warm": 0.86,
                 "ctl_alloc_fault_path": 0.432,
-                "source": "BASELINE.md round-5 FINAL campaign + controls",
+                "source": "BASELINE.md round-5 FINAL + epilogues A/B "
+                          "(steady criterion record) + controls",
             },
         }
     try:
